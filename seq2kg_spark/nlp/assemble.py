@@ -1,0 +1,269 @@
+"""A1–A10 — rule-based triple assembly from the tagged token table.
+
+Faithful re-expression of reference
+``candidate_extraction/triples_from_text.py:225-522`` as pure functions over
+the plain token rows emitted by :func:`seq2kg_spark.nlp.rules.token_table`.
+Runs per-document inside Arrow batches; per-doc graphs are tiny (<100
+nodes), so the networkx shortest-path enrichment (A7–A9) stays doc-local —
+it is NOT a distributed graph problem and must not shuffle.
+
+Known reference quirks preserved (SURVEY.md §4.3):
+
+* A10's dedup check compares the *raw* triple against previously *cleaned*
+  triples, so post-cleanup duplicates survive — the loop is ported as-is.
+* ``get_positions`` matches role strings 'of'/'at' that the role assigner
+  can never emit (adposition tokens become 'predicate' first), so the
+  predicate+adposition enrichment is dead code in the reference too; kept
+  verbatim for parity.
+* Predicates shorter than 2 chars are rewritten to 'is' only on the
+  single-predicate fan-out path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import networkx as nx
+
+# NLTK English stopword list (public domain list, vendored because nltk is
+# not installable here) + the reference's custom additions
+# (triples_from_text.py:21-24).
+_NLTK_ENGLISH_STOPWORDS = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are", "was",
+    "were", "be", "been", "being", "have", "has", "had", "having", "do",
+    "does", "did", "doing", "a", "an", "the", "and", "but", "if", "or",
+    "because", "as", "until", "while", "of", "at", "by", "for", "with",
+    "about", "against", "between", "into", "through", "during", "before",
+    "after", "above", "below", "to", "from", "up", "down", "in", "out",
+    "on", "off", "over", "under", "again", "further", "then", "once",
+    "here", "there", "when", "where", "why", "how", "all", "any", "both",
+    "each", "few", "more", "most", "other", "some", "such", "no", "nor",
+    "not", "only", "own", "same", "so", "than", "too", "very", "s", "t",
+    "can", "will", "just", "don", "don't", "should", "should've", "now",
+    "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren", "aren't",
+    "couldn", "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn",
+    "hadn't", "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't", "shan",
+    "shan't", "shouldn", "shouldn't", "wasn", "wasn't", "weren", "weren't",
+    "won", "won't", "wouldn", "wouldn't",
+]
+
+_CUSTOM_STOPWORDS = [
+    "many", "us", "monday", "tuesday", "wednesday", "thursday", "friday",
+    "saturday", "sunday", "today", "january", "february", "march", "april",
+    "may", "june", "july", "august", "september", "october", "november",
+    "december", "old", "new",
+]
+
+ALL_STOP_WORDS = sorted(set(_CUSTOM_STOPWORDS + _NLTK_ENGLISH_STOPWORDS))
+_STOP_SET = frozenset(ALL_STOP_WORDS)
+
+# A10 determiner/possessive drop list (triples_from_text.py:512)
+DROP_WORDS = ["a", "an", "the", "its", "their", "his", "her", "our", "all",
+              "old", "new", "latest", "who", "that", "this", "these", "those"]
+
+
+def _sentences_from_rows(rows: list[tuple]) -> list[list[list]]:
+    """A1 — SPO role assignment (triples_from_text.py:259-277).
+
+    rows: (sent, word_id, word, ent_type, lemma, pos, tag, dep).
+    Returns per-sentence [word, word_id, role-or-fine-tag] lists.
+    """
+    sentences: list[list[list]] = []
+    current: list[list] = []
+    for _sent, word_id, word, ent, _lemma, cg_pos, tag, dep in rows:
+        if "subj" in dep:
+            current.append([word, word_id, "subject"])
+        elif "ROOT" in dep or "VERB" in cg_pos or tag == "IN":
+            current.append([word, word_id, "predicate"])
+        elif "obj" in dep:
+            current.append([word, word_id, "object"])
+        elif ent == "ENTITY":
+            current.append([word, word_id, "entity"])
+        elif word == ".":
+            sentences.append(current)
+            current = []
+        else:
+            current.append([word, word_id, tag])
+    return sentences
+
+
+def _predicates(sent: list[list]) -> dict[int, str]:
+    """A2 (triples_from_text.py:225-233): predicates by index; drop 's, "."""
+    return {ix: w for w, ix, spo in sent
+            if spo == "predicate" and w != "'s" and w != '"'}
+
+
+def _roles_between(sent, start, end, wanted=("subject", "entity", "object")):
+    out = {}
+    for w, ix, spo in sent:
+        if start <= ix <= end and any(r in spo for r in wanted):
+            out[ix] = w
+    return out
+
+
+def _adps_between(sent, start, end):
+    # dead-in-practice 'of'/'at' role match, kept verbatim (see module doc)
+    return {ix: w for w, ix, spo in sent
+            if start <= ix <= end and spo in ("of", "at")}
+
+
+def create_triples(rows: list[tuple], corefs: list[list[str]]) -> list[list[str]]:
+    """A1–A6 (triples_from_text.py:259-370)."""
+    sentences = _sentences_from_rows(rows)
+    relations: list[list[str]] = []
+    for s in sentences:
+        if not s:
+            continue
+        preds = _predicates(s)
+        if not preds:
+            continue
+        if len(preds) == 1:
+            predicate = next(iter(preds.values()))
+            if len(predicate) < 2:
+                predicate = "is"
+            ents = [e[0] for e in s if e[2] == "entity"]
+            for i in range(1, len(ents)):
+                relations.append([ents[0], predicate, ents[i]])
+        pred_ids = sorted(list(preds.keys()) + [s[0][1], s[-1][1]])
+        for i in range(1, len(pred_ids) - 1):
+            predicate = preds[pred_ids[i]]
+            adps_objs = _adps_between(s, pred_ids[i], pred_ids[i + 1])
+            subjs = _roles_between(s, pred_ids[i - 1], pred_ids[i])
+            objs = _roles_between(s, pred_ids[i], pred_ids[i + 1])
+            for _k_s, subj in subjs.items():
+                for k_o, obj in objs.items():
+                    if k_o - 1 in adps_objs:
+                        relations.append(
+                            [subj, predicate + " " + adps_objs[k_o - 1], obj])
+                    else:
+                        relations.append([subj, predicate, obj])
+
+    # A5 — coref normalization (:329-344)
+    coreferences = []
+    for val in corefs:
+        if val[0].strip() == val[1].strip():
+            continue
+        if len(val[0]) <= 50 and len(val[1]) <= 50:
+            real = val[1].strip("[,- '\n]*")
+        else:
+            real = " ".join(val[1].strip("[,- '\n]*").split()[:7])
+        real = re.sub(r"'s$", "", real, flags=re.UNICODE)
+        if val[0] != real:
+            coreferences.append([val[0], real])
+
+    # A6 — two-pass coref substitution (:347-369)
+    pass1 = []
+    for s, p, o in relations:
+        for co in coreferences:
+            if s == co[0]:
+                pass1.append([co[1], p, o])
+                break
+        else:
+            pass1.append([s, p, o])
+    pass2 = []
+    for s, p, o in pass1:
+        for co in coreferences:
+            if o == co[0]:
+                pass2.append([s, p, co[1]])
+                break
+        else:
+            pass2.append([s, p, o])
+    return pass2
+
+
+def enrich_with_paths(doc_triples: list[list[str]]) -> list[list[str]]:
+    """A7–A9 — doc-local graph shortest-path enrichment (:375-424)."""
+    g = nx.DiGraph()
+    for s, _p, o in doc_triples:
+        g.add_edge(s, o)
+    # edge key = last predicate wins (reference add_edge(key=p) overwrites)
+    for s, p, o in doc_triples:
+        g[s][o]["key"] = p
+    ents_capitals = [n for n in g.nodes() if any(ch.isupper() for ch in n)]
+    paths = []
+    for i in range(len(ents_capitals)):
+        n1 = ents_capitals[i]
+        for j in range(1, len(ents_capitals)):
+            n2 = ents_capitals[j]
+            for src, dst in ((n1, n2), (n2, n1)):
+                try:
+                    path = nx.shortest_path(g, source=src, target=dst)
+                except Exception:
+                    continue
+                if path and len(path) > 2:
+                    paths.append(path)
+    triples: list[list[str]] = []
+    for p in paths:
+        path = [(u, g[u][v]["key"], v) for u, v in zip(p[:-1], p[1:])]
+        length = len(p)
+        last_pred = path[length - 2][1]
+        if last_pred in ("in", "at", "on"):
+            cand = [path[0][0], last_pred, path[length - 2][2]]
+            if cand not in triples:
+                triples.append(cand)
+        elif " in" in last_pred or " at" in last_pred or " on" in last_pred:
+            cand = [path[0][0], "in", path[length - 2][2]]
+            if [path[0][0], last_pred, path[length - 2][2]] not in triples:
+                triples.append(cand)
+    for t in doc_triples:
+        if t not in triples:
+            triples.append(t)
+    return triples
+
+
+def filter_battery(all_triples: list[list[str]]) -> list[list[str]]:
+    """A10 — the sequential filter battery (:487-519), quirks intact.
+
+    The same predicate set is ALSO exposed as a Catalyst filter chain in
+    :mod:`seq2kg_spark.operators.filter_battery` for the scale path; this
+    in-UDF version exists because the reference's dedup-before-cleanup
+    ordering is stateful within a doc.
+    """
+    filtered: list[list[str]] = []
+    for s, p, o in all_triples:
+        if [s, p, o] in filtered:
+            continue
+        if s.lower() in _STOP_SET or o.lower() in _STOP_SET:
+            continue
+        if s == p:
+            continue
+        if s.isdigit() or o.isdigit():
+            continue
+        if "%" in o or "%" in s:
+            continue
+        if len(s) < 2 or len(o) < 2:
+            continue
+        if (s.islower() and len(s) < 4) or (o.islower() and len(o) < 4):
+            continue
+        if s == o:
+            continue
+        subj = s.strip("[,- :'\"\n]*")
+        pred = p.strip("[- :'\"\n]*.")
+        obj = o.strip("[,- :'\"\n]*")
+        for sw in DROP_WORDS:
+            subj = " ".join(w for w in subj.split() if w != sw)
+            obj = " ".join(w for w in obj.split() if w != sw)
+        subj = re.sub(r"\s\s+", " ", subj)
+        obj = re.sub(r"\s\s+", " ", obj)
+        if subj and pred and obj:
+            filtered.append([subj, pred, obj])
+    return filtered
+
+
+def extract_triples_from_clean_text(clean_text: str) -> list[list[str]]:
+    """Full rule-based extraction for one already-cleaned document."""
+    from seq2kg_spark.nlp.rules import apply_chunk_merges, token_table
+    from seq2kg_spark.nlp.tagger import analyze
+
+    analysis = analyze(clean_text)
+    toks = apply_chunk_merges(analysis)
+    rows = token_table(toks)
+    doc_triples = create_triples(rows, analysis.corefs)
+    all_triples = enrich_with_paths(doc_triples)
+    return filter_battery(all_triples)

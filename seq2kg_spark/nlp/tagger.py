@@ -1,0 +1,424 @@
+"""Deterministic linguistic tagger — the spaCy seam.
+
+The reference pipeline's first stage is a spaCy ``en_core_web_sm`` parse
+(reference candidate_extraction/triples_from_text.py:33-45).  spaCy (pinned
+at 2.1.0 + neuralcoref in the reference) is not installable in this
+environment, so this module provides a deterministic, dependency-free
+stand-in that produces the same *shape* of annotation the downstream
+operators consume: tokens with (text, pos, tag, ent_type, dep, lemma, char
+offsets), entity spans, noun-chunk spans, and coref mention pairs.
+
+The seam: if a real spaCy model is importable, ``analyze()`` can be swapped
+for it without touching any downstream operator — everything downstream
+consumes the plain-Python ``Tok`` list, never a spaCy object.  All logic
+here is pure-Python and runs *inside* Arrow batches on executors; nothing
+touches the driver.
+
+Determinism matters more than linguistic perfection here: goldens are
+snapshot-tested, and the two-level parallelism runs must produce identical
+output (partition-count independence is asserted in tests).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------------------
+# Lexicons (closed classes + common verbs). Deterministic, frozen.
+# --------------------------------------------------------------------------
+
+DETERMINERS = {"a", "an", "the", "this", "that", "these", "those", "some",
+               "any", "each", "every", "no", "another", "both", "either"}
+
+ADPOSITIONS = {
+    "of", "in", "at", "on", "for", "with", "from", "by", "about", "over",
+    "under", "after", "before", "during", "between", "against", "among",
+    "around", "near", "since", "until", "upon", "within", "through", "into",
+    "onto", "across", "behind", "beyond", "despite", "except", "inside",
+    "outside", "toward", "towards", "via", "amid", "along", "off", "than",
+    "as", "like", "per", "throughout", "alongside",
+}
+
+PRONOUNS = {"he", "she", "it", "they", "we", "i", "you", "who", "whom",
+            "which", "her", "him", "his", "its", "their", "our", "them",
+            "us", "me", "my", "your", "himself", "herself", "itself",
+            "themselves", "what", "whose", "something", "anything",
+            "everything", "nothing", "one"}
+
+CONJUNCTIONS = {"and", "or", "but", "nor", "yet", "so"}
+
+AUXILIARIES = {"is", "are", "was", "were", "be", "been", "being", "am",
+               "has", "have", "had", "having", "do", "does", "did",
+               "will", "would", "can", "could", "may", "might", "must",
+               "should", "shall"}
+
+# Common verb stems — enough coverage for news/web prose. Inflections are
+# derived morphologically below.
+VERB_STEMS = {
+    "say", "said", "make", "made", "take", "took", "taken", "get", "got",
+    "go", "went", "gone", "come", "came", "see", "saw", "seen", "know",
+    "knew", "known", "give", "gave", "given", "find", "found", "think",
+    "thought", "tell", "told", "become", "became", "show", "shown",
+    "showed", "leave", "left", "feel", "felt", "put", "bring", "brought",
+    "begin", "began", "begun", "keep", "kept", "hold", "held", "write",
+    "wrote", "written", "stand", "stood", "hear", "heard", "let", "mean",
+    "meant", "set", "meet", "met", "run", "ran", "pay", "paid", "sit",
+    "sat", "speak", "spoke", "spoken", "lie", "lay", "led", "lead", "read",
+    "grow", "grew", "grown", "lose", "lost", "fall", "fell", "fallen",
+    "send", "sent", "build", "built", "sold", "sell", "bought", "buy",
+    "sought", "seek", "spent", "spend", "cut", "rose", "rise", "risen",
+    "drove", "drive", "driven", "wore", "wear", "worn", "chose", "choose",
+    "chosen", "drew", "draw", "drawn", "broke", "break", "broken", "won",
+    "win", "hit", "cost", "hurt", "quit", "ate", "eat", "eaten", "ran",
+    "flew", "fly", "flown", "threw", "throw", "thrown", "caught", "catch",
+    "taught", "teach", "fought", "fight", "struck", "strike",
+    # regular stems common in news/web text
+    "use", "work", "call", "try", "ask", "need", "want", "seem", "help",
+    "talk", "turn", "start", "play", "move", "live", "believe", "happen",
+    "include", "continue", "change", "watch", "follow", "stop", "create",
+    "open", "walk", "offer", "remember", "love", "consider", "appear",
+    "wait", "serve", "die", "expect", "stay", "reach", "kill", "remain",
+    "suggest", "raise", "pass", "require", "report", "decide", "pull",
+    "announce", "launch", "unveil", "acquire", "develop", "exhibit",
+    "showcase", "debut", "operate", "sue", "appoint", "oversee", "name",
+    "base", "locate", "found", "establish", "own", "manage", "produce",
+    "provide", "receive", "deliver", "design", "plan", "release", "sign",
+    "join", "add", "close", "cause", "claim", "describe", "estimate",
+    "increase", "reduce", "improve", "introduce", "invest", "formulate",
+    "demonstrate", "prepare", "enter", "usher", "hold", "visit", "damage",
+    "renovate", "injure", "determine", "investigate", "blaze", "drive",
+    "involve", "support", "accord", "putting", "according",
+}
+
+ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
+                 "then", "here", "there", "very", "too", "just", "still",
+                 "already", "soon", "often", "never", "always", "again",
+                 "not", "n't", "more", "most", "later", "once", "apparently",
+                 "together", "instead", "however", "meanwhile", "perhaps"}
+
+ADJECTIVES_EXTRA = {"new", "old", "latest", "small", "large", "big", "good",
+                    "great", "high", "low", "long", "short", "own", "other",
+                    "same", "last", "first", "next", "early", "late", "few",
+                    "several", "many", "much", "top", "major", "main",
+                    "black", "white", "red", "blue", "brown", "green",
+                    "able", "available", "possible", "likely", "local",
+                    "complete", "total", "full", "whole", "real"}
+
+_ADJ_SUFFIXES = ("ous", "ful", "ive", "ic", "ical", "able", "ible", "ant",
+                 "ent", "ary", "al", "ish", "less")
+_NOUN_SUFFIXES = ("tion", "sion", "ment", "ness", "ity", "ship", "ance",
+                  "ence", "ism", "ist", "er", "or", "cy", "age")
+
+_TOKEN_RE = re.compile(
+    r"[A-Za-z]+(?:[-'][A-Za-z]+)*"   # words incl. hyphen/apostrophe-internal
+    r"|\$|\d[\d,]*(?:\.\d+)?%?"      # currency sign, numbers
+    r"|'s|’s|n't"                    # clitics
+    r"|[^\sA-Za-z0-9]"               # any single punctuation char
+)
+
+_SENT_END = {".", "!", "?"}
+
+
+@dataclass
+class Tok:
+    text: str
+    idx: int               # char start offset in the cleaned text
+    pos: str = "NOUN"      # coarse (UPOS-ish)
+    tag: str = "NN"        # fine (PTB-ish)
+    ent_type: str = ""     # '' | NER label | 'ENTITY' after chunk merges
+    dep: str = "dep"
+    lemma: str = ""
+    i: int = 0             # token index (reassigned after merges)
+    sent_start: bool = False
+
+    @property
+    def end(self) -> int:
+        return self.idx + len(self.text)
+
+
+@dataclass
+class Analysis:
+    text: str
+    tokens: list[Tok] = field(default_factory=list)
+    ent_spans: list[tuple[int, int]] = field(default_factory=list)    # [start, end) token idx
+    chunk_spans: list[tuple[int, int]] = field(default_factory=list)  # noun chunks
+    corefs: list[list[str]] = field(default_factory=list)             # [mention, main]
+
+
+def _tokenize(text: str) -> list[Tok]:
+    toks = []
+    for m in _TOKEN_RE.finditer(text):
+        toks.append(Tok(text=m.group(0), idx=m.start()))
+    for i, t in enumerate(toks):
+        t.i = i
+    return toks
+
+
+def _is_verb_form(lower: str) -> bool:
+    if lower in VERB_STEMS or lower in AUXILIARIES:
+        return True
+    for suf, strip in (("ing", 3), ("ed", 2), ("es", 2), ("s", 1)):
+        if lower.endswith(suf) and len(lower) > strip + 2:
+            stem = lower[:-strip]
+            if stem in VERB_STEMS or stem + "e" in VERB_STEMS:
+                return True
+    return False
+
+
+def _fine_tag(pos: str, lower: str, text: str) -> str:
+    if pos == "VERB":
+        if lower in AUXILIARIES:
+            return "MD" if lower in {"will", "would", "can", "could", "may",
+                                     "might", "must", "should", "shall"} else "VBZ"
+        if lower.endswith("ing"):
+            return "VBG"
+        if lower.endswith("ed"):
+            return "VBD"
+        if lower.endswith("s"):
+            return "VBZ"
+        return "VB"
+    return {
+        "NOUN": "NNS" if lower.endswith("s") and not lower.endswith("ss") else "NN",
+        "PROPN": "NNP",
+        "ADP": "IN",
+        "DET": "DT",
+        "ADJ": "JJ",
+        "ADV": "RB",
+        "PRON": "PRP",
+        "NUM": "CD",
+        "CCONJ": "CC",
+        "PART": "POS" if lower in {"'s", "’s"} else "TO",
+        "PUNCT": text if text in {".", ",", ":", "``", "''"} else
+                 ("-LRB-" if text == "(" else "-RRB-" if text == ")" else "."),
+        "SYM": "$",
+    }.get(pos, "NN")
+
+
+def _assign_pos(toks: list[Tok]) -> None:
+    # Pass 1: which lowercase forms appear capitalized mid-sentence?
+    # (used to decide PROPN for sentence-initial capitalized words)
+    midcap: set[str] = set()
+    sent_start = True
+    for t in toks:
+        if not sent_start and t.text[:1].isupper() and t.text.lower() not in DETERMINERS:
+            midcap.add(t.text.lower())
+        t.sent_start = sent_start
+        sent_start = t.text in _SENT_END
+    prev_lower = ""
+    for t in toks:
+        w = t.text
+        lower = w.lower()
+        if not any(ch.isalnum() for ch in w):
+            t.pos, t.tag = "PUNCT", _fine_tag("PUNCT", lower, w)
+        elif w == "$":
+            t.pos = "SYM"
+        elif w[0].isdigit():
+            t.pos = "NUM"
+        elif lower in {"'s", "’s"}:
+            t.pos = "PART"
+        elif lower == "n't" or lower == "not":
+            t.pos = "ADV"
+        elif lower == "to":
+            t.pos = "PART"
+        elif lower in DETERMINERS:
+            t.pos = "DET"
+        elif lower in PRONOUNS:
+            t.pos = "PRON"
+        elif lower in CONJUNCTIONS:
+            t.pos = "CCONJ"
+        elif lower in AUXILIARIES:
+            t.pos = "VERB"  # spaCy 2.x tagged auxiliaries as VERB
+        elif lower in ADPOSITIONS:
+            t.pos = "ADP"
+        elif w[:1].isupper() and (not t.sent_start or lower in midcap or
+                                  not _is_verb_form(lower)):
+            # capitalized → proper noun unless a sentence-initial verb/etc.
+            if t.sent_start and (lower in ADPOSITIONS or lower in PRONOUNS
+                                 or _is_verb_form(lower)
+                                 or lower in ADVERBS_EXTRA):
+                t.pos = ("ADP" if lower in ADPOSITIONS else
+                         "PRON" if lower in PRONOUNS else
+                         "ADV" if lower in ADVERBS_EXTRA else "VERB")
+            else:
+                t.pos = "PROPN"
+        elif _is_verb_form(lower):
+            # noun/verb ambiguity: after a determiner or adjective → noun
+            t.pos = "NOUN" if prev_lower in DETERMINERS else "VERB"
+        elif lower in ADVERBS_EXTRA or (lower.endswith("ly") and len(lower) > 4):
+            t.pos = "ADV"
+        elif lower in ADJECTIVES_EXTRA or lower.endswith(_ADJ_SUFFIXES):
+            t.pos = "ADJ"
+        else:
+            t.pos = "NOUN"
+        t.tag = _fine_tag(t.pos, lower, w)
+        t.lemma = lower
+        prev_lower = lower
+
+
+def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
+    """Maximal runs of PROPN (+ trailing number, e.g. 'Boeing 747')."""
+    spans = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if toks[i].pos == "PROPN":
+            j = i + 1
+            while j < n and (toks[j].pos == "PROPN"
+                             or (toks[j].pos == "NUM" and j > i)
+                             or toks[j].text == "&"):
+                j += 1
+            while toks[j - 1].pos not in ("PROPN", "NUM"):
+                j -= 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
+    """Base NPs: optional DET + {ADJ,NUM,NOUN,PROPN}* ending in NOUN/PROPN.
+
+    Pronouns form single-token chunks (spaCy's noun_chunks does the same).
+    """
+    spans = []
+    n = len(toks)
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.pos == "PRON":
+            spans.append((i, i + 1))
+            i += 1
+            continue
+        if t.pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
+            j = i
+            last_nominal = -1
+            while j < n and toks[j].pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
+                if toks[j].pos in ("NOUN", "PROPN"):
+                    last_nominal = j
+                j += 1
+            if last_nominal >= i:
+                spans.append((i, last_nominal + 1))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _assign_deps(toks: list[Tok]) -> None:
+    """Heuristic dependency roles per sentence (enough for SPO assembly)."""
+    n = len(toks)
+    start = 0
+    while start < n:
+        end = start
+        while end < n and toks[end].text not in _SENT_END:
+            end += 1
+        sent = toks[start:end]
+        verbs = [t for t in sent if t.pos == "VERB"]
+        root = None
+        if verbs:
+            # main verb: first non-auxiliary if any, else first verb
+            non_aux = [v for v in verbs if v.lemma not in AUXILIARIES]
+            root = non_aux[0] if non_aux else verbs[0]
+        nominal = [t for t in sent if t.pos in ("NOUN", "PROPN", "PRON", "NUM")]
+        if root is None and nominal:
+            root = nominal[0]
+        subj_assigned = False
+        obj_after_root = False
+        prev = None
+        for t in sent:
+            if t is root:
+                t.dep = "ROOT"
+            elif t.pos == "PUNCT":
+                t.dep = "punct"
+            elif t.pos == "DET":
+                t.dep = "det"
+            elif t.pos == "ADJ":
+                t.dep = "amod"
+            elif t.pos == "ADV":
+                t.dep = "advmod"
+            elif t.pos == "ADP":
+                t.dep = "prep"
+            elif t.pos == "PART":
+                t.dep = "case" if t.lemma in {"'s", "’s"} else "aux"
+            elif t.pos == "CCONJ":
+                t.dep = "cc"
+            elif t.pos == "VERB":
+                t.dep = "aux" if (root is not None and t.i < root.i
+                                  and t.lemma in AUXILIARIES) else "conj"
+            elif t.pos in ("NOUN", "PROPN", "PRON", "NUM"):
+                if root is not None and root.pos == "VERB" and t.i < root.i:
+                    # last nominal before the root is the subject head;
+                    # earlier ones are compounds of it
+                    later = [x for x in nominal if t.i < x.i < root.i]
+                    if later:
+                        t.dep = "compound"
+                    else:
+                        t.dep = "nsubj"
+                        subj_assigned = True
+                elif prev is not None and prev.pos == "ADP":
+                    t.dep = "pobj"
+                elif root is not None and root.pos == "VERB" and t.i > root.i \
+                        and not obj_after_root:
+                    t.dep = "dobj"
+                    obj_after_root = True
+                elif not subj_assigned and root is not None and t.i < root.i:
+                    t.dep = "nsubj"
+                    subj_assigned = True
+                else:
+                    t.dep = "conj" if prev is not None and prev.pos == "CCONJ" \
+                        else "compound"
+            else:
+                t.dep = "dep"
+            if t.pos not in ("PUNCT",):
+                prev = t
+        start = end + 1
+
+
+# Definite NPs the coref stand-in maps back to the nearest organization-ish
+# antecedent, mirroring what neuralcoref resolves in the reference corpora.
+_COREF_NOMINALS = {"company", "firm", "chain", "group", "maker", "automaker",
+                   "manufacturer", "restaurant", "brand", "startup",
+                   "carmaker", "business"}
+_COREF_PRONOUNS = {"he", "she", "it", "they", "him", "her", "them"}
+
+
+def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
+                 text: str) -> list[list[str]]:
+    """Stand-in for neuralcoref cluster pairs (reference R2).
+
+    Emits [mention, main] string pairs: pronouns and definite 'the
+    <company>'-style NPs resolve to the nearest preceding entity span.
+    Deterministic left-to-right scan; main = first entity of the doc's
+    cluster (nearest preceding entity mention).
+    """
+    pairs: list[list[str]] = []
+    ents = [(s, e, text[toks[s].idx:toks[e - 1].end]) for s, e in ent_spans]
+    for i, t in enumerate(toks):
+        lower = t.text.lower()
+        prevs = [x for x in ents if x[1] <= i]
+        if not prevs:
+            continue
+        main = prevs[-1][2]
+        if lower in _COREF_PRONOUNS:
+            if t.text.strip() != main.strip():
+                pairs.append([t.text, main])
+        elif (lower in _COREF_NOMINALS and i > 0
+              and toks[i - 1].text.lower() == "the"):
+            mention = f"{toks[i-1].text} {t.text}"
+            if mention.strip() != main.strip():
+                pairs.append([mention, main])
+    return pairs
+
+
+def analyze(text: str) -> Analysis:
+    """Full deterministic analysis of one (already cleaned) document."""
+    toks = _tokenize(text)
+    _assign_pos(toks)
+    _assign_deps(toks)
+    ent_spans = _entity_spans(toks)
+    chunk_spans = _noun_chunk_spans(toks)
+    corefs = _coref_pairs(toks, ent_spans, text)
+    return Analysis(text=text, tokens=toks, ent_spans=ent_spans,
+                    chunk_spans=chunk_spans, corefs=corefs)
