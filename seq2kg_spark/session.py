@@ -57,4 +57,10 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Ship the package to executor Python workers (the --py-files story;
+    # required whenever the driver wasn't launched from the repo root).
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    return spark
