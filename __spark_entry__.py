@@ -1,38 +1,719 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the seq2kg_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``  — flagship: KG triple extraction over the sf0.001 documents.
+``queries``    — every oracle-checkable operator from SURVEY.md §2 plus the
+                 training-data-pipeline operators (dedup / ANN / text
+                 analysis), implemented with the DataFrame API.
+``oracle_sql`` — exact DuckDB twins.  Cross-engine determinism is by
+                 construction: integer arithmetic (quantized dots, 1/10000
+                 ratio units), md5 (identical hex in both engines), explicit
+                 rounding, and aliased column names that match 1:1.
+
+NLP-UDF stages (kg_extract_triples, clean_text) have no SQL equivalent and
+are registered without an oracle → the driver records a rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from seq2kg_spark.functions import text_stats as TS  # noqa: E402
+from seq2kg_spark.nlp.assemble import ALL_STOP_WORDS, DROP_WORDS  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),  # documents.lang is synthetic; extract all
+    ).withColumn(
+        # documents.text has no sentence-final periods; the reference
+        # extractor drops tokens after the last '.', so close the doc.
+        "text", F.concat(F.col("text"), F.lit(" ."))
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """KG construction over sf0.001 documents: clean → extract → battery."""
+    from seq2kg_spark.operators.extract import extract_triples
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return extract_triples(_docs_as_pages(docs), num_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# shared derivations (Spark side)
+# --------------------------------------------------------------------------
+
+def _word_candidates(docs: DataFrame, max_words: int = 30) -> DataFrame:
+    """Sliding word-trigram candidate triples from documents.text."""
+    toks = F.slice(TS.words(F.col("text")), 1, max_words)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    trips = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("subj"),
+            F.element_at(toks, i + 1).alias("pred"),
+            F.element_at(toks, i + 2).alias("obj"),
+        ),
+    )
+    return (
+        docs.where(F.size(TS.words(F.col("text"))) >= 3)
+        .select("doc_id", F.explode(trips).alias("t"))
+        .select("doc_id", "t.subj", "t.pred", "t.obj")
+        .where(F.col("obj").isNotNull())
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_q3_top_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+def q_collect_parts_per_order(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("l_partkey").cast("string"))), "|"
+        ).alias("parts"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH").alias("hour"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_kg_filter_battery(spark, sf_dir):
+    from seq2kg_spark.operators.filter_battery import apply_filter_battery
+
+    cand = _word_candidates(_t(spark, sf_dir, "documents"))
+    return apply_filter_battery(cand)
+
+
+def q_kg_parity_pr(spark, sf_dir):
+    from seq2kg_spark.eval.parity import exact_pr
+
+    cand = _word_candidates(_t(spark, sf_dir, "documents")).withColumnRenamed(
+        "doc_id", "doc"
+    )
+    pred = cand.where(F.col("doc") % 2 == 0)
+    gold = cand.where(F.col("doc") % 3 == 0)
+    pr = exact_pr(pred, gold, keys=("doc", "subj", "pred", "obj"))
+    return pr.select(
+        "n_pred", "n_gold", "n_hit",
+        F.floor(F.col("n_hit") * 1000000 / F.greatest("n_pred", F.lit(1)))
+        .alias("precision_e6"),
+        F.floor(F.col("n_hit") * 1000000 / F.greatest("n_gold", F.lit(1)))
+        .alias("recall_e6"),
+    )
+
+
+def q_typing_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = TS.words(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.slice(toks, 1, 5), lambda w: F.lower(F.substring(w, 1, 1)))
+        ).alias("gold"),
+        F.array_distinct(
+            F.transform(F.slice(toks, 2, 5), lambda w: F.lower(F.substring(w, 1, 1)))
+        ).alias("pred"),
+    )
+    per_doc = base.select(
+        "doc_id",
+        F.size("gold").alias("n_gold"),
+        F.size("pred").alias("n_pred"),
+        F.size(F.array_intersect("gold", "pred")).alias("n_inter"),
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_gold") == F.col("n_inter"))
+                & (F.col("n_pred") == F.col("n_inter")),
+                1,
+            ).otherwise(0)
+        ).alias("n_strict"),
+        F.floor(
+            F.sum("n_inter") * 10000 / F.greatest(F.sum("n_pred"), F.lit(1))
+        ).alias("micro_p_e4"),
+        F.floor(
+            F.sum("n_inter") * 10000 / F.greatest(F.sum("n_gold"), F.lit(1))
+        ).alias("micro_r_e4"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from seq2kg_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from seq2kg_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="source", threshold=0.002
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from seq2kg_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=8, threshold=0.002, hash_fn="md5"
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from seq2kg_spark.operators.dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from seq2kg_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_dot=300_000, block_col="label"
+    )
+
+
+def q_ann_topk_dot(spark, sf_dir):
+    from seq2kg_spark.operators.ann import brute_force_topk
+
+    return brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count_ws(F.col("text")).alias("n_words"),
+        TS.stopword_ratio(F.col("text")).alias("stopword_ratio_e4"),
+        TS.punct_ratio(F.col("text")).alias("punct_ratio_e4"),
+        TS.quality_label(F.col("text")).alias("quality"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        TS.token_count_regex(F.col("text")).alias("n_regex_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_kg_extract_triples(spark, sf_dir):
+    """Full NLP extraction — no SQL equivalent (rows-only check)."""
+    from seq2kg_spark.operators.extract import extract_triples
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return extract_triples(_docs_as_pages(docs), num_partitions=16)
+
+
+def q_clean_text(spark, sf_dir):
+    """T1 Catalyst chain — byte-parity is pytest-gated (rows-only here)."""
+    from seq2kg_spark.functions.text_clean import clean_text_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text_expr(F.col("text")).alias("clean"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue": q_q3_top_revenue,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "collect_parts_per_order": q_collect_parts_per_order,
+        "events_hourly": q_events_hourly,
+        "kg_filter_battery": q_kg_filter_battery,
+        "kg_parity_pr": q_kg_parity_pr,
+        "typing_metrics": q_typing_metrics,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk_dot": q_ann_topk_dot,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "kg_extract_triples": q_kg_extract_triples,
+        "clean_text": q_clean_text,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+_STOP_SQL = _sql_list(ALL_STOP_WORDS)
+_DROP_SQL = _sql_list(DROP_WORDS)
+
+_EDGE_SO = "[\\[,\\- :'\"\\n\\]*]".replace("'", "''")
+_EDGE_P = "[\\[\\- :'\"\\n\\]*.]".replace("'", "''")
+
+_EN_SQL = _sql_list(list(TS.EN_MARKERS))
+_DE_SQL = _sql_list(list(TS.DE_MARKERS))
+
+_CANDIDATES_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')[1:30] AS t
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 3
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  FROM toks
+),
+cand AS (
+  SELECT doc_id, t[i] AS subj, t[i+1] AS pred, t[i+2] AS obj
+  FROM pos WHERE t[i+2] IS NOT NULL
+)
+"""
+
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+shpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM shpos
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, rnk, o_orderkey, totalprice FROM (
+              SELECT o_custkey, o_orderkey,
+                     round(o_totalprice, 2) AS totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rnk
+              FROM orders)
+            WHERE rnk <= 3
+        """,
+        "collect_parts_per_order": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_partkey AS VARCHAR), '|'
+                              ORDER BY CAST(l_partkey AS VARCHAR)) AS parts,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "kg_filter_battery": f"""
+            WITH {_CANDIDATES_CTE},
+            kept AS (
+              SELECT * FROM cand
+              WHERE lower(subj) NOT IN ({_STOP_SQL})
+                AND lower(obj) NOT IN ({_STOP_SQL})
+                AND subj <> pred
+                AND NOT regexp_full_match(subj, '[0-9]+')
+                AND NOT regexp_full_match(obj, '[0-9]+')
+                AND subj NOT LIKE '%\\%%' ESCAPE '\\'
+                AND obj NOT LIKE '%\\%%' ESCAPE '\\'
+                AND length(subj) >= 2 AND length(obj) >= 2
+                AND NOT (subj = lower(subj) AND length(subj) < 4)
+                AND NOT (obj = lower(obj) AND length(obj) < 4)
+                AND subj <> obj
+            ),
+            cleaned AS (
+              SELECT doc_id,
+                array_to_string(list_filter(string_split(
+                  regexp_replace(subj, '^{_EDGE_SO}+|{_EDGE_SO}+$', '', 'g'),
+                  ' '), w -> w NOT IN ({_DROP_SQL}) AND w <> ''), ' ') AS subj,
+                regexp_replace(pred, '^{_EDGE_P}+|{_EDGE_P}+$', '', 'g') AS pred,
+                array_to_string(list_filter(string_split(
+                  regexp_replace(obj, '^{_EDGE_SO}+|{_EDGE_SO}+$', '', 'g'),
+                  ' '), w -> w NOT IN ({_DROP_SQL}) AND w <> ''), ' ') AS obj
+              FROM kept
+            )
+            SELECT * FROM cleaned
+            WHERE subj <> '' AND pred <> '' AND obj <> ''
+        """,
+        "kg_parity_pr": f"""
+            WITH {_CANDIDATES_CTE},
+            pred AS (SELECT DISTINCT doc_id AS doc, subj, pred, obj
+                     FROM cand WHERE doc_id % 2 = 0),
+            gold AS (SELECT DISTINCT doc_id AS doc, subj, pred, obj
+                     FROM cand WHERE doc_id % 3 = 0),
+            hit AS (SELECT count(*) AS n_hit FROM pred
+                    JOIN gold USING (doc, subj, pred, obj))
+            SELECT (SELECT count(*) FROM pred) AS n_pred,
+                   (SELECT count(*) FROM gold) AS n_gold,
+                   n_hit,
+                   CAST(floor(n_hit * 1000000.0 /
+                        greatest((SELECT count(*) FROM pred), 1)) AS BIGINT)
+                       AS precision_e6,
+                   CAST(floor(n_hit * 1000000.0 /
+                        greatest((SELECT count(*) FROM gold), 1)) AS BIGINT)
+                       AS recall_e6
+            FROM hit
+        """,
+        "typing_metrics": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS t
+              FROM documents
+            ),
+            gold AS (
+              SELECT DISTINCT doc_id, lower(substr(t[i], 1, 1)) AS ty
+              FROM toks, generate_series(1, 5) g(i) WHERE t[i] IS NOT NULL
+            ),
+            pred AS (
+              SELECT DISTINCT doc_id, lower(substr(t[i], 1, 1)) AS ty
+              FROM toks, generate_series(2, 6) g(i) WHERE t[i] IS NOT NULL
+            ),
+            per_doc AS (
+              SELECT d.doc_id,
+                (SELECT count(*) FROM gold g WHERE g.doc_id = d.doc_id) AS n_gold,
+                (SELECT count(*) FROM pred p WHERE p.doc_id = d.doc_id) AS n_pred,
+                (SELECT count(*) FROM gold g JOIN pred p
+                   ON g.doc_id = p.doc_id AND g.ty = p.ty
+                 WHERE g.doc_id = d.doc_id) AS n_inter
+              FROM documents d
+            )
+            SELECT count(*) AS n_docs,
+                   sum(CASE WHEN n_gold = n_inter AND n_pred = n_inter
+                            THEN 1 ELSE 0 END) AS n_strict,
+                   CAST(floor(sum(n_inter) * 10000.0 /
+                        greatest(sum(n_pred), 1)) AS BIGINT) AS micro_p_e4,
+                   CAST(floor(sum(n_inter) * 10000.0 /
+                        greatest(sum(n_gold), 1)) AS BIGINT) AS micro_r_e4
+            FROM per_doc
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            blocked AS (
+              SELECT s.doc_id, s.shingle, d.source AS block
+              FROM shingles s JOIN documents d USING (doc_id)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM blocked GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_inter
+              FROM blocked a JOIN blocked b
+                ON a.shingle = b.shingle AND a.block = b.block
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) >= 0.002
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, b.band,
+                     min(md5(concat(CAST(b.band AS VARCHAR), ':', shingle)))
+                         AS sig
+              FROM shingles, generate_series(0, 7) b(band)
+              GROUP BY doc_id, b.band
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM sig x JOIN sig y
+                ON x.band = y.band AND x.sig = y.sig
+               AND x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN shingles sa ON sa.doc_id = c.doc_a
+              JOIN shingles sb ON sb.doc_id = c.doc_b
+                              AND sb.shingle = sa.shingle
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) >= 0.002
+        """,
+        "dedup_simhash": """
+            WITH w AS (
+              SELECT doc_id, md5(w.word) AS h
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS word
+                    FROM documents) w
+            ),
+            bits AS (
+              SELECT doc_id, j.j,
+                     CASE WHEN strpos('13579bdf', substr(h, j.j + 1, 1)) > 0
+                          THEN 1 ELSE -1 END AS contrib
+              FROM w, generate_series(0, 15) j(j)
+            ),
+            per_bit AS (
+              SELECT doc_id, j, CASE WHEN sum(contrib) > 0
+                                     THEN '1' ELSE '0' END AS bit
+              FROM bits GROUP BY doc_id, j
+            )
+            SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+            FROM per_bit GROUP BY doc_id
+        """,
+        "embedding_near_dup": """
+            WITH q AS (
+              SELECT vec_id AS vid, label AS block,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                         AS qv
+              FROM embeddings
+            )
+            SELECT a.vid AS id_a, b.vid AS id_b,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+            FROM q a JOIN q b ON a.block = b.block AND a.vid < b.vid
+            WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 300000
+        """,
+        "ann_topk_dot": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                         AS qv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+              FROM q a JOIN q b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10
+            )
+            SELECT query_id, rank, neighbor_id, dot FROM (
+              SELECT query_id, neighbor_id, dot,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, neighbor_id ASC)
+                         AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS w
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                len(list_filter(w, x -> lower(x) IN ({_EN_SQL}))) AS en,
+                len(list_filter(w, x -> lower(x) IN ({_DE_SQL}))) AS de
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN en > de AND en > 0 THEN 'en'
+                        WHEN de > en AND de > 0 THEN 'de'
+                        ELSE 'unknown' END AS lang_pred
+            FROM hits
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS w
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, text, len(w) AS n_words,
+                len(list_filter(w, x -> lower(x) IN ({_EN_SQL}))) AS hits,
+                length(text) AS total,
+                length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS cl
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CASE WHEN n_words > 0 THEN CAST(floor(hits * 10000.0 / n_words)
+                        AS BIGINT) ELSE 0 END AS stopword_ratio_e4,
+                   CASE WHEN total > 0 THEN CAST(floor((total - cl) * 10000.0 / total)
+                        AS BIGINT) ELSE 0 END AS punct_ratio_e4,
+                   CASE WHEN n_words < 5 THEN 'too_short'
+                        WHEN (CASE WHEN total > 0 THEN
+                              CAST(floor((total - cl) * 10000.0 / total) AS BIGINT)
+                              ELSE 0 END) > 3000 THEN 'too_punct'
+                        WHEN (CASE WHEN n_words > 0 THEN
+                              CAST(floor(hits * 10000.0 / n_words) AS BIGINT)
+                              ELSE 0 END) = 0 THEN 'no_stopwords'
+                        ELSE 'ok' END AS quality
+            FROM m
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '{TS.TOKEN_REGEX}')) AS BIGINT) AS n_regex_tokens
+            FROM documents
+        """,
+        "fingerprint": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS w
+              FROM documents
+            ),
+            wpos AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w), 1))) AS i
+              FROM t
+            ),
+            terms AS (
+              SELECT doc_id,
+                     (CAST(i AS BIGINT) * {TS._FP_A}
+                      + length(w[i]) * {TS._FP_B}
+                      + ascii(w[i])) % {TS._FP_MOD} AS term
+              FROM wpos
+              WHERE w[i] IS NOT NULL
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(s.fp, 0) AS BIGINT) AS fp
+            FROM t LEFT JOIN (
+              SELECT doc_id, sum(term) % {TS._FP_MOD} AS fp
+              FROM terms GROUP BY doc_id) s USING (doc_id)
+        """,
+    }

@@ -1,0 +1,103 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE json
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline mix = the KG pipeline (NLP mapInPandas, the throughput-critical
+stage) + the relational/ dedup/ ANN operators using their *scale* variants
+(xxhash64 MinHash, 64-bit SimHash) rather than the md5 oracle-parity
+variants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as E
+    from seq2kg_spark.operators.ann import brute_force_topk
+    from seq2kg_spark.operators.dedup import minhash_lsh_pairs, simhash64
+    from seq2kg_spark.session import get_spark
+
+    spark = get_spark("seq2kg-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def kg_extract(s, d):
+        return E.q_kg_extract_triples(s, d)
+
+    def minhash_scale(s, d):
+        return minhash_lsh_pairs(
+            E._t(s, d, "documents"), n_bands=8, threshold=0.002,
+            hash_fn="xxhash64",
+        )
+
+    def simhash_scale(s, d):
+        return simhash64(E._t(s, d, "documents"))
+
+    def ann_scale(s, d):
+        return brute_force_topk(
+            E._t(s, d, "embeddings"), query_ids=list(range(20)), k=10
+        )
+
+    bench_queries = {
+        "kg_extract_triples": kg_extract,
+        "kg_filter_battery": E.q_kg_filter_battery,
+        "q1_pricing_summary": E.q_q1_pricing_summary,
+        "q3_top_revenue": E.q_q3_top_revenue,
+        "topk_orders_per_customer": E.q_topk_orders_per_customer,
+        "collect_parts_per_order": E.q_collect_parts_per_order,
+        "events_hourly": E.q_events_hourly,
+        "dedup_minhash_lsh_xx64": minhash_scale,
+        "dedup_simhash64": simhash_scale,
+        "ann_topk": ann_scale,
+        "text_quality": E.q_text_quality,
+        "fingerprint": E.q_fingerprint,
+    }
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    total = 0.0
+    for name, fn in bench_queries.items():
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        rows[name] = n
+        total += dt
+
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    extract_dps = round(n_docs / timings["kg_extract_triples"], 2)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {
+                    "cpus": cpus,
+                    "rows": rows,
+                    "kg_extract_docs_per_sec": extract_dps,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

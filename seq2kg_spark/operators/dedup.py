@@ -1,0 +1,280 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, all DataFrame-native:
+
+* exact            — md5(text) hash-groupBy (one shuffle on the hash).
+* ngram Jaccard    — word-3-shingle set overlap within a blocking key.
+* MinHash + LSH    — banded min-signature bucketing → candidate pairs →
+                     Jaccard verification.  The oracle-parity variant uses
+                     ``md5`` (identical hex in Spark and DuckDB); the scale
+                     variant uses ``xxhash64`` (8 bytes, JVM-side, no hex
+                     strings to shuffle).
+* SimHash          — bitwise majority signature; 16-bit md5-nibble variant
+                     (cross-engine exact) and 64-bit xxhash64 variant.
+* embedding cosine — quantized-integer dot product near-dup pairs (exact
+                     arithmetic → deterministic across engines).
+
+Scale notes: every operator blocks before it pairs — LSH bands or an
+explicit ``block_col`` — so the self-join never goes quadratic in corpus
+size, only in bucket size.  AQE's skew-join split handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_text_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("text_md5", F.md5(F.col(text_col)))
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """One row per distinct text: keeper id (min), duplicate count."""
+    return (
+        with_text_md5(df, text_col)
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (JVM higher-order fns)."""
+    toks = F.filter(F.split(text_col, " "), lambda w: w != F.lit(""))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the build side of every similarity op."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by word-k-gram Jaccard, blocked to avoid O(n²).
+
+    Relational formulation (works identically in any SQL engine):
+    inter = |shingles(a) ∩ shingles(b)| via equi-join on shingle;
+    union = |a| + |b| - inter.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    if block_col:
+        blocks = df.select(F.col(id_col).alias("doc_id"),
+                           F.col(block_col).alias("block"))
+        sh = sh.join(blocks, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle",
+                  *(["block"] if block_col else []))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle",
+                  *(["block"] if block_col else []))
+    join_keys = ["shingle"] + (["block"] if block_col else [])
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_bands: int = 8, hash_fn: str = "md5"
+) -> DataFrame:
+    """(doc_id, band, sig): banded 1-row MinHash.
+
+    ``hash_fn='md5'`` → cross-engine-exact hex strings (oracle parity);
+    ``hash_fn='xxhash64'`` → 64-bit ints, the 100 TB path (no hex
+    materialization, half the shuffle bytes).
+    """
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    salted = sh.select("doc_id", "shingle", bands)
+    if hash_fn == "md5":
+        h = F.md5(F.concat_ws(":", F.col("band").cast("string"), F.col("shingle")))
+    else:
+        h = F.xxhash64(F.col("band"), F.col("shingle"))
+    return (
+        salted.withColumn("h", h)
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash/LSH near-dup detection: shingle → banded min-sig → bucket
+    join → Jaccard verify.  Output: (doc_a, doc_b, jaccard ≥ threshold)."""
+    sh = shingle_table(df, id_col, text_col, k).cache()
+    sig = minhash_signatures(sh, n_bands, hash_fn)
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), ["band", "sig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a").join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash from md5-nibble parities (cross-engine exact).
+
+    bit_j(word) = parity of hex nibble j of md5(word); doc bit j = majority
+    over words.  Output: (doc_id, simhash string of '0'/'1' x 16).
+    """
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    ).withColumn("h", F.md5("word"))
+    bits = w.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        F.col("h"),
+    ).withColumn(
+        "contrib",
+        F.when(
+            F.instr(F.lit("13579bdf"), F.substring("h", F.col("j") + 1, 1)) > 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    per_bit = (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("j", "bit"))),
+                            lambda s: s["bit"])
+        ).alias("simhash")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash via xxhash64 — the scale variant (JVM-side ints,
+    SQL-expr bit arithmetic because shift-by-column needs expr())."""
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    ).withColumn("h", F.xxhash64("word"))
+    bits = (
+        w.select("doc_id", "h",
+                 F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"))
+        .withColumn("contrib",
+                    F.expr("CASE WHEN (h >> j) % 2 != 0 THEN 1 ELSE -1 END"))
+    )
+    per_bit = (
+        bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
+        .withColumn("bitval",
+                    F.expr("CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END"))
+    )
+    return per_bit.groupBy("doc_id").agg(F.sum("bitval").alias("simhash64"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+    min_dot: int = 1_000_000,
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-dup pairs by quantized-integer dot product (exact arithmetic).
+
+    Quantize each float to round(x*quant) int64, join within ``block_col``
+    (or all pairs if None), keep pairs with dot ≥ min_dot.  Integer dot of
+    two 64-dim x |x|≤~5000 vectors ≤ 1.6e9 — exact in int64 and in DuckDB's
+    double accumulation, so oracle comparison is bit-stable.
+    """
+    q = emb.select(
+        F.col(id_col).alias("vid"),
+        *([F.col(block_col).alias("block")] if block_col else []),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+        ).alias("qv"),
+    )
+    a = q.select(F.col("vid").alias("id_a"), F.col("qv").alias("qa"),
+                 *(["block"] if block_col else []))
+    b = q.select(F.col("vid").alias("id_b"), F.col("qv").alias("qb"),
+                 *(["block"] if block_col else []))
+    pairs = a.join(b, ["block"] if block_col else None, "inner") if block_col \
+        else a.crossJoin(b)
+    return (
+        pairs.where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .where(F.col("dot") >= min_dot)
+        .select("id_a", "id_b", "dot")
+    )

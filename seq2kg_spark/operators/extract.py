@@ -67,13 +67,25 @@ def extract_triples(
     num_partitions: int | None = None,
     salt_buckets: int = 64,
 ) -> DataFrame:
-    """pages → (url, subj, pred, obj) triples."""
-    cleaned = clean_pages(pages, lang)
+    """pages → (url, subj, pred, obj) triples.
+
+    Stage layout matters: the scan stage's parallelism is bounded by input
+    file count, so only the (pushable) lang filter and a 2-column projection
+    run there.  The T1 regex chain is deliberately placed *after* the salted
+    repartition — it's the second-most expensive compute in the pipeline and
+    must run at full shuffle-partition parallelism, not at file-count
+    parallelism.  Raw ``length(text)`` is the size proxy (clean only
+    shrinks whitespace, monotonicity holds).
+    """
+    scanned = pages.where(F.col("lang") == lang).select("url", "text")
     balanced = salted_size_repartition(
-        cleaned,
-        F.length("clean_text"),
+        scanned,
+        F.length("text"),
         "url",
         num_partitions=num_partitions,
         salt_buckets=salt_buckets,
     )
-    return balanced.mapInPandas(_extract_batches, schema=TRIPLES_SCHEMA)
+    cleaned = balanced.select(
+        "url", clean_text_expr(F.col("text")).alias("clean_text")
+    )
+    return cleaned.mapInPandas(_extract_batches, schema=TRIPLES_SCHEMA)

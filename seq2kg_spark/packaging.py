@@ -40,6 +40,18 @@ def build_package_zip() -> str:
     return path
 
 
+_shipped: set[str] = set()
+
+
 def ship_package(spark) -> None:
-    """Register the package zip with the session's SparkContext."""
+    """Register the package zip with the session's SparkContext.
+
+    Idempotent per application — safe to call from every operator that
+    closes over package code (the driver harness may hand us a session we
+    didn't build).
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _shipped:
+        return
     spark.sparkContext.addPyFile(build_package_zip())
+    _shipped.add(app_id)
