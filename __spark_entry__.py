@@ -298,6 +298,35 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_graph_connected_components(spark, sf_dir):
+    from seq2kg_spark.operators.canonicalize import connected_components
+    from seq2kg_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, block_col="source", threshold=0.002
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    comp = connected_components(edges)
+    return (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+
+
+def q_kg_canonical_nodes(spark, sf_dir):
+    """Full canonicalization over extracted triples (rows-only check)."""
+    from seq2kg_spark.operators.canonicalize import canonicalize
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    triples = q_kg_extract_triples(spark, sf_dir)
+    nodes, _edges = canonicalize(triples, threshold=0.55)
+    return nodes.select("canon_id", "canonical", "n_mentions")
+
+
 def q_kg_extract_triples(spark, sf_dir):
     """Full NLP extraction — no SQL equivalent (rows-only check)."""
     from seq2kg_spark.operators.extract import extract_triples
@@ -336,7 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "graph_connected_components": q_graph_connected_components,
         "kg_extract_triples": q_kg_extract_triples,
+        "kg_canonical_nodes": q_kg_canonical_nodes,
         "clean_text": q_clean_text,
     }
 
@@ -520,6 +551,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sum(n_inter) * 10000.0 /
                         greatest(sum(n_gold), 1)) AS BIGINT) AS micro_r_e4
             FROM per_doc
+        """,
+        "graph_connected_components": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            blocked AS (
+              SELECT s.doc_id, s.shingle, d.source AS block
+              FROM shingles s JOIN documents d USING (doc_id)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM blocked GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_inter
+              FROM blocked a JOIN blocked b
+                ON a.shingle = b.shingle AND a.block = b.block
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sim AS (
+              SELECT doc_a, doc_b FROM pairs
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) >= 0.002
+            ),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM sim
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM sim
+            ),
+            cc(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, c.comp
+              FROM cc c JOIN edges e ON e.a = c.node
+              WHERE c.comp < e.b
+            )
+            SELECT node, min(comp) AS component FROM cc GROUP BY node
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,

@@ -1,0 +1,263 @@
+"""Mention canonicalization + graph materialization (north-star stage).
+
+triples(url, subj, pred, obj) → canonical ``nodes`` / ``edges`` tables:
+
+1. **Mention extraction**: distinct surface strings from subj/obj.
+2. **Blocking**: candidate same-entity pairs via char-shingle MinHash-LSH
+   (never a full cross product) + cheap exact rules (case/possessive
+   normalization collisions).
+3. **Similarity edges**: Jaccard over char 3-grams ≥ threshold.
+4. **Connected components**: alternating large-star / small-star iterations
+   (Kiveris et al., "Connected Components in MapReduce and Beyond") on an
+   edge DataFrame — O(log n) rounds, each a groupBy-shuffle, with
+   ``localCheckpoint`` per round to cut lineage (at 10^12 rows an
+   unbounded lineage chain is an OOM, not a nicety).
+5. **Canonical naming**: each component's most frequent (then longest,
+   then lexicographically smallest) surface form.
+6. **Materialize**: ``nodes(canon_id, canonical, members, n_mentions)``,
+   ``edges(src, pred, dst, weight)`` — the Iceberg-bound graph tables
+   (reference analog: the documented Neo4j LOAD CSV block,
+   redcoat_parser/build_triples.py:206-214).
+
+The reference canonicalizes only via per-doc coref (A5/A6); corpus-level
+canonicalization is our scale addition (SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_mention(col):
+    """Cheap normal form: lower, strip possessives/punct edges, squeeze."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "'s$", "")
+    c = F.regexp_replace(c, "^[^a-z0-9]+|[^a-z0-9]+$", "")
+    return F.regexp_replace(c, "\\s+", " ")
+
+
+def mentions_from_triples(triples: DataFrame) -> DataFrame:
+    """Distinct mention surfaces with frequencies: (mention, norm, freq)."""
+    surfaces = triples.select(F.col("subj").alias("mention")).unionAll(
+        triples.select(F.col("obj").alias("mention"))
+    )
+    return (
+        surfaces.groupBy("mention")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("norm", normalize_mention(F.col("mention")))
+        .where(F.col("norm") != "")
+    )
+
+
+def _char_shingles(col, k: int = 3):
+    n = F.length(col)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(col, i, k))
+    )
+
+
+def similarity_edges(
+    mentions: DataFrame,
+    threshold: float = 0.55,
+    n_bands: int = 6,
+    k: int = 3,
+) -> DataFrame:
+    """Same-entity candidate edges between *normalized* mention strings.
+
+    Exact-norm collisions are free (groupBy); near-miss pairs come from
+    banded MinHash over char k-shingles, verified by Jaccard ≥ threshold.
+    Returns (a, b) string pairs with a < b.
+    """
+    norms = mentions.select("norm").distinct()
+    sh = norms.select(
+        "norm", F.explode(_char_shingles(F.col("norm"), k)).alias("shingle")
+    )
+    bands = sh.select(
+        "norm", "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("h", F.xxhash64("band", "shingle"))
+    sig = bands.groupBy("norm", "band").agg(F.min("h").alias("sig"))
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), ["band", "sig"])
+        .where(F.col("x.norm") < F.col("y.norm"))
+        .select(F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sizes = sh.groupBy("norm").agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col("norm").alias("a"), "shingle")
+    b_sh = sh.select(F.col("norm").alias("b"), "shingle")
+    inter = (
+        cand.join(a_sh, "a")
+        .join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("norm").alias("a"),
+                                F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("norm").alias("b"),
+                           F.col("n").alias("n_b")), "b")
+        .where(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= threshold
+        )
+        .select("a", "b")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components.
+
+    ``edges``: (a, b) — any orientation, any dtype with total order.
+    Returns (node, component) with component = min member of the component.
+
+    Each round is two groupBy shuffles over the edge set; convergence in
+    O(log n) rounds.  ``localCheckpoint`` truncates lineage so round k+1's
+    plan doesn't embed rounds 1..k (mandatory at scale).
+    """
+    spark = edges.sparkSession
+    # undirected, deduped, self-loops dropped
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .dropDuplicates(["u", "v"])
+    )
+
+    def star(df: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods of each node (both directions)
+        nbrs = df.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+            df.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        grouped = nbrs.groupBy("x").agg(F.collect_set("y").alias("ys"))
+        if large:
+            # large-star(x): m = min(N(x) ∪ {x}); link every LARGER
+            # neighbor to m
+            pairs = (
+                grouped.withColumn(
+                    "m", F.array_min(F.array_union("ys", F.array("x")))
+                )
+                .select("x", "m", F.explode("ys").alias("y"))
+                .where(F.col("y") > F.col("x"))
+            )
+        else:
+            # small-star(x): S = smaller neighbors; m = min(S ∪ {x});
+            # link every node of S ∪ {x} (except m itself) to m
+            pairs = (
+                grouped.withColumn(
+                    "ys_small",
+                    F.filter("ys", lambda y: y < F.col("x")),
+                )
+                .where(F.size("ys_small") > 0)
+                .withColumn("m", F.array_min("ys_small"))
+                .select(
+                    "m",
+                    F.explode(
+                        F.array_union("ys_small", F.array("x"))
+                    ).alias("y"),
+                )
+            )
+        out = (
+            pairs.select(
+                F.least(F.col("y"), F.col("m")).alias("u"),
+                F.greatest(F.col("y"), F.col("m")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        return out
+
+    prev_hash = None
+    for i in range(max_iter):
+        e = star(e, large=True)
+        e = star(e, large=False)
+        if checkpoint_every and (i % checkpoint_every == 0):
+            e = e.localCheckpoint(eager=True)
+        h = (
+            e.agg(
+                F.count("*").alias("n"),
+                # bit_xor: order-insensitive, cannot overflow (ANSI mode)
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).collect()[0]
+        )
+        cur = (h["n"], h["h"])
+        if cur == prev_hash:
+            break
+        prev_hash = cur
+
+    comp = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def canonicalize(
+    triples: DataFrame,
+    threshold: float = 0.55,
+    n_bands: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """triples → (nodes, edges) canonical graph tables."""
+    mentions = mentions_from_triples(triples).cache()
+    sim = similarity_edges(mentions, threshold=threshold, n_bands=n_bands)
+    comp = connected_components(sim)
+    # every norm gets a component; singletons map to themselves
+    norm_comp = (
+        mentions.select("norm").distinct()
+        .join(comp, F.col("norm") == F.col("node"), "left")
+        .select(
+            "norm", F.coalesce("component", F.col("norm")).alias("component")
+        )
+    )
+    m = mentions.join(norm_comp, "norm")
+    # canonical surface: most frequent, then longest, then lexicographic
+    w = Window.partitionBy("component").orderBy(
+        F.desc("freq"), F.desc(F.length("mention")), F.asc("mention")
+    )
+    named = m.withColumn("rnk", F.row_number().over(w))
+    canon = named.where(F.col("rnk") == 1).select(
+        "component", F.col("mention").alias("canonical")
+    )
+    nodes = (
+        m.join(canon, "component")
+        .groupBy("component", "canonical")
+        .agg(
+            F.array_sort(F.collect_set("mention")).alias("members"),
+            F.sum("freq").cast("long").alias("n_mentions"),
+        )
+        .withColumn("canon_id", F.xxhash64("component"))
+        .select("canon_id", "canonical", "members", "n_mentions")
+    )
+    mention_to_canon = m.join(canon, "component").select(
+        F.col("mention"), F.xxhash64("component").alias("canon_id"),
+        F.col("canonical"),
+    ).dropDuplicates(["mention"])
+    s_map = mention_to_canon.select(
+        F.col("mention").alias("subj"),
+        F.col("canon_id").alias("src"),
+        F.col("canonical").alias("src_name"),
+    )
+    o_map = mention_to_canon.select(
+        F.col("mention").alias("obj"),
+        F.col("canon_id").alias("dst"),
+        F.col("canonical").alias("dst_name"),
+    )
+    edges = (
+        triples.join(s_map, "subj")
+        .join(o_map, "obj")
+        .groupBy("src", "src_name", F.col("pred"), "dst", "dst_name")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    return nodes, edges
