@@ -337,6 +337,28 @@ def q_kg_extract_triples(spark, sf_dir):
     return extract_triples(_docs_as_pages(docs), num_partitions=16)
 
 
+def q_kg_neural_triples(spark, sf_dir):
+    """Seq2KG joint-model inference path (BiGRU tagger; rows-only check —
+    weights are a deterministic stand-in, see PARITY.md)."""
+    from seq2kg_spark.operators.tagger_infer import neural_extract_triples
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return neural_extract_triples(_docs_as_pages(docs), num_partitions=16)
+
+
+def q_kg_candidate_filtering(spark, sf_dir):
+    """Model-2 path: NLTK-style chunk candidates -> MLP filter -> top-10
+    per doc (rows-only check)."""
+    from seq2kg_spark.operators.candidates import candidate_filtering_pipeline
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return candidate_filtering_pipeline(docs)
+
+
 def q_clean_text(spark, sf_dir):
     """T1 Catalyst chain — byte-parity is pytest-gated (rows-only here)."""
     from seq2kg_spark.functions.text_clean import clean_text_expr
@@ -368,6 +390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_graph_connected_components,
         "kg_extract_triples": q_kg_extract_triples,
         "kg_canonical_nodes": q_kg_canonical_nodes,
+        "kg_neural_triples": q_kg_neural_triples,
+        "kg_candidate_filtering": q_kg_candidate_filtering,
         "clean_text": q_clean_text,
     }
 

@@ -1,0 +1,183 @@
+"""M1–M4 — the Seq2KG tagger: BiGRU forward + multi-label decode, in numpy.
+
+Numpy re-implementation of the joint model's inference math
+(joint_model/model.py:43-137): a 2-layer bidirectional GRU over wordpiece
+embeddings, two ReLU-linear heads (triple tagging + entity typing), logits
+> 0 ⇔ label on (M2), wordpiece→token mean pooling (M3), and the
+tag-stream→triple assembly (M4, joint_model/evaluate.py:163-199) with its
+quirks preserved:
+
+* a label continues a slot part iff it was present on the *previous* token
+  (``current_labels``) or the part is still empty;
+* index contiguity: a part only grows if its last word_idx == word_idx-1;
+* entity-type predictions attach to head/tail parts only;
+* a slot survives iff all three of head/rel/tail are non-empty.
+
+Reference bug preserved: the joint model runs the *tr* GRU for the et pass
+too (model.py:76 uses ``recurrent_layer_tr``); we do the same.
+
+Weights are deterministic (seeded numpy RandomState) — untrained, so the
+emitted triples are structural, not semantic; on a production cluster the
+same arrays are loaded from the released ``state_dict`` instead.  The
+weight dict is built once on the driver and shipped inside the UDF closure
+(Spark broadcasts closures per task; for multi-GB weights switch to
+``SparkContext.broadcast`` — same seam).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TR_LABELS = [f"{part}/{i}" for part in ("head", "rel", "tail")
+             for i in range(1, 11)]
+ET_LABELS = ["/PERSON", "/ORGANIZATION", "/ORGANIZATION/CORPORATION",
+             "/LOCATION", "/PRODUCT", "/EVENT", "/FACILITY", "/GPE",
+             "/WORK_OF_ART", "/MISC"]
+
+MAX_SENT_LEN = 100
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+
+def init_weights(dim: int = 64, hidden: int = 64, seed: int = 125,
+                 input_gain: float = 3.0, bias_spread: float = 0.15) -> dict:
+    """Seeded GRU + head weights (reference seeds torch with 125,
+    model.py:5-8).  Keys mirror torch's GRU parameter layout.
+
+    ``input_gain`` scales the input-to-hidden matrices: an untrained GRU at
+    1/sqrt(fan_in) scale washes token identity out of its hidden state
+    (per-label logit std ~0.05 vs bias spread ~1 → every label becomes
+    input-independent and no triple slot ever completes).  Gain 3 keeps the
+    stand-in's decode input-sensitive — a *real* trained state_dict loads
+    into the same keys and ignores these knobs.
+    """
+    rng = np.random.RandomState(seed)
+    w: dict[str, np.ndarray] = {"dim": dim, "hidden": hidden}
+
+    def mat(*shape, scale: float = 1.0):
+        return (rng.randn(*shape) * scale / np.sqrt(shape[-1])).astype(
+            np.float32
+        )
+
+    for layer in (0, 1):
+        in_dim = dim if layer == 0 else 2 * hidden
+        for direction in ("f", "b"):
+            p = f"l{layer}{direction}"
+            w[f"{p}_Wz"] = mat(hidden, in_dim, scale=input_gain)
+            w[f"{p}_Uz"] = mat(hidden, hidden)
+            w[f"{p}_Wr"] = mat(hidden, in_dim, scale=input_gain)
+            w[f"{p}_Ur"] = mat(hidden, hidden)
+            w[f"{p}_Wh"] = mat(hidden, in_dim, scale=input_gain)
+            w[f"{p}_Uh"] = mat(hidden, hidden)
+    for head, n_labels in (("tr", len(TR_LABELS)), ("et", len(ET_LABELS))):
+        w[f"{head}_W1"] = mat(n_labels, 2 * hidden, scale=input_gain)
+        w[f"{head}_b1"] = np.zeros(n_labels, dtype=np.float32)
+        w[f"{head}_W2"] = mat(n_labels, n_labels, scale=input_gain)
+        w[f"{head}_b2"] = (
+            rng.randn(n_labels).astype(np.float32) * bias_spread
+        ) - 0.25
+    return w
+
+
+def _gru_direction(x: np.ndarray, w: dict, prefix: str,
+                   reverse: bool) -> np.ndarray:
+    """x: (B, T, in_dim) → (B, T, hidden).  Vectorized over the batch."""
+    B, T, _ = x.shape
+    hidden = w["hidden"]
+    h = np.zeros((B, hidden), dtype=np.float32)
+    out = np.zeros((B, T, hidden), dtype=np.float32)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    Wz, Uz = w[f"{prefix}_Wz"], w[f"{prefix}_Uz"]
+    Wr, Ur = w[f"{prefix}_Wr"], w[f"{prefix}_Ur"]
+    Wh, Uh = w[f"{prefix}_Wh"], w[f"{prefix}_Uh"]
+    for t in steps:
+        xt = x[:, t, :]
+        z = _sigmoid(xt @ Wz.T + h @ Uz.T)
+        r = _sigmoid(xt @ Wr.T + h @ Ur.T)
+        n = np.tanh(xt @ Wh.T + (r * h) @ Uh.T)
+        h = (1 - z) * n + z * h
+        out[:, t, :] = h
+    return out
+
+
+def bigru_forward(x: np.ndarray, w: dict) -> np.ndarray:
+    """2-layer bidirectional GRU: (B, T, dim) → (B, T, 2*hidden)."""
+    h = x
+    for layer in (0, 1):
+        f = _gru_direction(h, w, f"l{layer}f", reverse=False)
+        b = _gru_direction(h, w, f"l{layer}b", reverse=True)
+        h = np.concatenate([f, b], axis=-1)
+    return h
+
+
+def forward_logits(x: np.ndarray, w: dict) -> tuple[np.ndarray, np.ndarray]:
+    """M1: shared recurrent output (reference bug: et uses the tr GRU) →
+    two ReLU-linear heads.  Returns (tr_logits, et_logits)."""
+    rec = bigru_forward(x, w)
+    out = []
+    for head in ("tr", "et"):
+        h1 = np.maximum(rec @ w[f"{head}_W1"].T + w[f"{head}_b1"], 0.0)
+        out.append(h1 @ w[f"{head}_W2"].T + w[f"{head}_b2"])
+    return out[0], out[1]
+
+
+def pool_wordpieces_to_tokens(
+    logits: np.ndarray, tok_to_wp_expanded: list[list[int]]
+) -> np.ndarray:
+    """M3: token logits = mean of its wordpieces' logits (model.py:125-137).
+    logits: (T_wp, L) for ONE sentence."""
+    n_tok = len(tok_to_wp_expanded)
+    out = np.zeros((n_tok, logits.shape[1]), dtype=np.float32)
+    for j, wp_idxs in enumerate(tok_to_wp_expanded):
+        if wp_idxs:
+            out[j] = logits[wp_idxs].mean(axis=0)
+    return out
+
+
+def decode_labels(token_logits: np.ndarray, labels: list[str]) -> list[list[str]]:
+    """M2: label on ⇔ logit > 0; per token, in vocab order."""
+    on = token_logits > 0
+    return [[labels[j] for j in np.nonzero(on[i])[0]]
+            for i in range(on.shape[0])]
+
+
+def tags_to_triples(
+    words: list[str],
+    tr_labels_per_token: list[list[str]],
+    et_labels_per_token: list[list[str]],
+) -> list[dict]:
+    """M4: exact port of get_triples (joint_model/evaluate.py:163-199)."""
+    label_mapping = {"head": 0, "rel": 1, "tail": 2}
+    current_labels: set[str] = set()
+    triples = [[[], [], [], set(), set()] for _ in range(10)]  # h,r,t,th,tt
+    triple_idxs = [[[], [], []] for _ in range(10)]
+    for word_idx, word in enumerate(words):
+        ls = tr_labels_per_token[word_idx]
+        pred_et = et_labels_per_token[word_idx]
+        for label in ls:
+            label_type, idx = label.split("/")
+            idx = int(idx) - 1
+            part = label_mapping[label_type]
+            if label in current_labels or len(triples[idx][part]) == 0:
+                if (len(triple_idxs[idx][part]) == 0
+                        or triple_idxs[idx][part][-1] == word_idx - 1):
+                    triple_idxs[idx][part].append(word_idx)
+                    triples[idx][part].append(word)
+                    if label_type != "rel":
+                        slot = 3 if label_type == "head" else 4
+                        for et in pred_et:
+                            triples[idx][slot].add(et)
+        current_labels = set(ls)
+    out = []
+    for t in triples:
+        if t[0] and t[1] and t[2]:
+            out.append({
+                "subj": " ".join(t[0]),
+                "pred": " ".join(t[1]),
+                "obj": " ".join(t[2]),
+                "subj_types": sorted(t[3]),
+                "obj_types": sorted(t[4]),
+            })
+    return out

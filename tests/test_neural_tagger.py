@@ -1,0 +1,85 @@
+"""Neural tagger path: wordpiece, GRU shapes, M4 decode quirks, operator."""
+
+import numpy as np
+
+from seq2kg_spark.nlp.gru import (
+    ET_LABELS,
+    TR_LABELS,
+    forward_logits,
+    init_weights,
+    tags_to_triples,
+)
+from seq2kg_spark.nlp.wordpiece import WordPieceTokenizer
+
+
+def test_wordpiece_roundtrip_and_map():
+    tk = WordPieceTokenizer()
+    wps, tok_to_wp = tk.encode_sentence(["the", "company", "launched"])
+    assert wps[0] == "[CLS]" and wps[-1] == "[SEP]"
+    assert tok_to_wp[0] == 1
+    expanded = tk.expand_map(tok_to_wp, len(wps))
+    # every token owns at least one wordpiece; pieces are contiguous
+    assert all(len(ix) >= 1 for ix in expanded)
+    flat = [i for ix in expanded for i in ix]
+    assert flat == list(range(1, len(wps) - 1))
+
+
+def test_wordpiece_greedy_longest_match():
+    tk = WordPieceTokenizer({"un": 0, "##aff": 1, "##able": 2, "##a": 3,
+                             "##f": 4, "u": 5, "##n": 6})
+    assert tk.wordpieces_of("unaffable") == ["un", "##aff", "##able"]
+    assert tk.wordpieces_of("zzz") == ["[UNK]"]
+
+
+def test_gru_forward_shapes_and_determinism():
+    w = init_weights(dim=16, hidden=16, seed=125)
+    x = np.random.RandomState(7).randn(3, 20, 16).astype(np.float32)
+    tr1, et1 = forward_logits(x, w)
+    tr2, et2 = forward_logits(x, w)
+    assert tr1.shape == (3, 20, len(TR_LABELS))
+    assert et1.shape == (3, 20, len(ET_LABELS))
+    assert np.array_equal(tr1, tr2) and np.array_equal(et1, et2)
+
+
+def test_m4_decode_contiguity_and_continuation():
+    # 'head/1' on tokens 0,1 then gap then token 3: gap breaks contiguity →
+    # token 3 rejected (part non-empty, last idx != 2)
+    words = ["Acme", "Corp", "bought", "Globex"]
+    tr = [["head/1"], ["head/1"], ["rel/1"], ["head/1", "tail/1"]]
+    et = [["/ORGANIZATION"], [], [], ["/ORGANIZATION/CORPORATION"]]
+    out = tags_to_triples(words, tr, et)
+    assert len(out) == 1
+    t = out[0]
+    assert t["subj"] == "Acme Corp"
+    assert t["pred"] == "bought"
+    assert t["obj"] == "Globex"
+    assert t["subj_types"] == ["/ORGANIZATION"]
+    assert t["obj_types"] == ["/ORGANIZATION/CORPORATION"]
+
+
+def test_m4_label_must_continue_or_start_empty():
+    # rel/1 appears, stops, then reappears: part non-empty AND label not in
+    # current_labels → second occurrence ignored
+    words = ["a", "rel1", "x", "rel2", "b"]
+    tr = [["head/1"], ["rel/1"], [], ["rel/1"], ["tail/1"]]
+    et = [[], [], [], [], []]
+    out = tags_to_triples(words, tr, et)
+    assert out[0]["pred"] == "rel1"
+
+
+def test_m4_incomplete_slots_dropped():
+    words = ["x", "y"]
+    tr = [["head/1"], ["rel/1"]]  # no tail
+    out = tags_to_triples(words, tr, [[], []])
+    assert out == []
+
+
+def test_neural_operator_runs_and_is_deterministic(spark, pages):
+    from seq2kg_spark.operators.tagger_infer import neural_extract_triples
+
+    small = pages.limit(12)
+    a = neural_extract_triples(small, num_partitions=2).collect()
+    b = neural_extract_triples(small, num_partitions=7).collect()
+    key = lambda r: (r.url, r.subj, r.pred, r.obj)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert {type(r.subj_types) for r in a} <= {list}
