@@ -1,0 +1,135 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema, partition-friendly
+batch shapes, Arrow-batched ``mapInPandas`` UDF signatures, size-bucketed
+repartition for payload skew.  The *codec* layer is a seam: no image/audio
+libraries exist in this container, so decoding is dispatched per format —
+a deterministic built-in fake codec (``x-fake``) exercises the full path
+end-to-end, and real formats raise ``NotImplementedError`` with the
+library that would serve them (PIL/libsndfile/pyav), exactly where a
+production deployment plugs in.
+
+Media table shape:
+    media(url string, kind string,            -- image | audio | video
+          payload binary,
+          meta struct<width int, height int, sample_rate int,
+                      n_frames int, format string>)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("kind", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ])),
+])
+
+FAKE_MAGIC = b"FAKE"
+
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic stand-in payload: FAKE | w | h | seeded bytes."""
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=width * height, dtype=np.uint8)
+    return FAKE_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
+
+
+def _decode(payload: bytes, fmt: str) -> np.ndarray:
+    if fmt == "x-fake":
+        if payload[:4] != FAKE_MAGIC:
+            raise ValueError("corrupt x-fake payload")
+        w, h = struct.unpack("<II", payload[4:12])
+        return np.frombuffer(payload[12:12 + w * h],
+                             dtype=np.uint8).reshape(h, w)
+    raise NotImplementedError(
+        f"no codec for format {fmt!r} in this environment — plug in "
+        "PIL/imageio (image), soundfile (audio) or pyav (video) here"
+    )
+
+
+def media_features(media: DataFrame, n_bins: int = 16,
+                   num_partitions: int | None = None) -> DataFrame:
+    """decode → per-item feature vector (intensity histogram).
+
+    (url, kind, feature array<float>, width int, height int) — the
+    feature UDF sees whole Arrow batches; payload-size skew is flattened
+    by the same salted size-bucketed repartition as the text path.
+    """
+    from seq2kg_spark.operators.repartition import salted_size_repartition
+
+    balanced = salted_size_repartition(
+        media, F.length("payload"), "url", num_partitions=num_partitions
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "kind": [], "feature": [], "width": [],
+                    "height": []}
+            for url, kind, payload, meta in zip(
+                pdf["url"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = meta["format"] if meta is not None else None
+                if payload is None or fmt is None:
+                    continue
+                img = _decode(bytes(payload), fmt)
+                hist, _ = np.histogram(img, bins=n_bins, range=(0, 256))
+                feat = (hist / max(img.size, 1)).astype("float32")
+                rows["url"].append(url)
+                rows["kind"].append(kind)
+                rows["feature"].append(feat.tolist())
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+            yield pd.DataFrame({
+                "url": pd.Series(rows["url"], dtype=object),
+                "kind": pd.Series(rows["kind"], dtype=object),
+                "feature": pd.Series(rows["feature"], dtype=object),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+            })
+
+    return balanced.mapInPandas(
+        fn, schema="url string, kind string, feature array<float>, "
+                   "width int, height int"
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize seam: x-fake payloads are re-encoded at the target size
+    (nearest-neighbor); real formats raise where the codec plugs in."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_urls, out_payloads = [], []
+            for url, payload, meta in zip(pdf["url"], pdf["payload"],
+                                          pdf["meta"]):
+                fmt = meta["format"] if meta is not None else None
+                img = _decode(bytes(payload), fmt)
+                ys = (np.linspace(0, img.shape[0] - 1, height)).astype(int)
+                xs = (np.linspace(0, img.shape[1] - 1, width)).astype(int)
+                resized = img[np.ix_(ys, xs)]
+                out_urls.append(url)
+                out_payloads.append(
+                    FAKE_MAGIC + struct.pack("<II", width, height)
+                    + resized.tobytes()
+                )
+            yield pd.DataFrame({
+                "url": pd.Series(out_urls, dtype=object),
+                "payload": pd.Series(out_payloads, dtype=object),
+            })
+
+    return media.mapInPandas(fn, schema="url string, payload binary")

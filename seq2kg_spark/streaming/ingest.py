@@ -1,0 +1,79 @@
+"""Structured Streaming ingestion of page batches.
+
+The reference is pure batch (SURVEY.md §1.4); this is the incremental-
+ingest path a production crawl feed needs: new parquet files landing in a
+directory are picked up, triple-extracted, and appended to the triples
+sink with exactly-once file-sink semantics (checkpointed offsets).
+
+Also provides the watermarked windowed aggregation over the ``events``
+table shape (late data tolerated up to the watermark) — the standard
+Structured Streaming pattern for rollup tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seq2kg_spark.sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+
+def stream_extract_triples(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = False,
+):
+    """pages stream → triples parquet sink (append, exactly-once files).
+
+    The batch extractor is reused verbatim — mapInPandas is streaming-safe
+    (stateless).  The salted repartition is replaced by
+    ``repartition(url)``: micro-batches are small, skew defense is per
+    micro-batch and cheap.
+    """
+    from seq2kg_spark.functions.text_clean import clean_text_expr
+    from seq2kg_spark.operators.extract import TRIPLES_SCHEMA, _extract_batches
+
+    cleaned = (
+        pages_stream.where(F.col("lang") == "en")
+        .repartition("url")
+        .select("url", clean_text_expr(F.col("text")).alias("clean_text"))
+    )
+    triples = cleaned.mapInPandas(_extract_batches, schema=TRIPLES_SCHEMA)
+    writer = (
+        triples.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup: (window, event_type, n, sum)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )

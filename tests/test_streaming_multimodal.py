@@ -1,0 +1,69 @@
+"""Structured Streaming ingest + multimodal binary-column plumbing."""
+
+import pytest
+
+from seq2kg_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    encode_fake_image,
+    media_features,
+    resize_stub,
+)
+from seq2kg_spark.streaming.ingest import (
+    read_pages_stream,
+    stream_extract_triples,
+)
+
+
+def _media_df(spark, n=8):
+    rows = [
+        (f"m://{i}", "image", encode_fake_image(16 + i, 8 + i, seed=i),
+         (16 + i, 8 + i, None, None, "x-fake"))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_streaming_extract_available_now(spark, pages, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages.limit(20).repartition(3).write.parquet(src)
+    q = stream_extract_triples(
+        read_pages_stream(spark, src), out, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert got.columns == ["url", "subj", "pred", "obj"]
+    # restart with no new files → no duplicates (checkpointed offsets)
+    n1 = got.count()
+    q2 = stream_extract_triples(
+        read_pages_stream(spark, src), out, ckpt, available_now=True
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_media_features_histograms(spark):
+    media = _media_df(spark)
+    feats = media_features(media, n_bins=16, num_partitions=2).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-5
+        assert r.width >= 16 and r.height >= 8
+
+
+def test_media_resize_roundtrip(spark):
+    media = _media_df(spark, n=3)
+    resized = resize_stub(media, width=4, height=4).collect()
+    assert len(resized) == 3
+    for r in resized:
+        assert len(bytes(r.payload)) == 4 + 8 + 16  # magic + dims + pixels
+
+
+def test_unknown_format_raises(spark):
+    rows = [("m://x", "image", b"JPEGDATA", (1, 1, None, None, "jpeg"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="no codec|NotImplemented"):
+        media_features(media).collect()
