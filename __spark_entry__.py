@@ -163,6 +163,48 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("k")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("k")).distinct()
+    return (
+        cust.union(supp).distinct().agg(F.count("*").alias("n_union"))
+        .crossJoin(cust.intersect(supp).agg(F.count("*").alias("n_intersect")))
+        .crossJoin(nation.exceptAll(cust).distinct()
+                   .agg(F.count("*").alias("n_except")))
+    )
+
+
+def q_date_math(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.datediff(F.col("o_orderdate"),
+                             F.lit("1992-01-01").cast("timestamp"))
+                  ).cast("long").alias("min_days_since_epoch92"),
+        )
+    )
+
+
 def q_kg_filter_battery(spark, sf_dir):
     from seq2kg_spark.operators.filter_battery import apply_filter_battery
 
@@ -374,6 +416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "collect_parts_per_order": q_collect_parts_per_order,
         "events_hourly": q_events_hourly,
+        "json_props": q_json_props,
+        "set_ops": q_set_ops,
+        "date_math": q_date_math,
         "kg_filter_battery": q_kg_filter_battery,
         "kg_parity_pr": q_kg_parity_pr,
         "typing_metrics": q_typing_metrics,
@@ -494,6 +539,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "json_props": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                       AS k_mod,
+                   count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS sum_k
+            FROM events GROUP BY 1
+        """,
+        "set_ops": """
+            WITH cust AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k
+                          FROM customer),
+                 supp AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k
+                          FROM supplier),
+                 nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+            SELECT
+              (SELECT count(*) FROM (SELECT k FROM cust UNION
+                                     SELECT k FROM supp)) AS n_union,
+              (SELECT count(*) FROM (SELECT k FROM cust INTERSECT
+                                     SELECT k FROM supp)) AS n_intersect,
+              (SELECT count(*) FROM (SELECT k FROM nat EXCEPT
+                                     SELECT k FROM cust)) AS n_except
+        """,
+        "date_math": """
+            SELECT CAST(date_part('year', o_orderdate) AS BIGINT)
+                       AS y,
+                   CAST(date_part('month', o_orderdate) AS BIGINT)
+                       AS m,
+                   count(*) AS n,
+                   CAST(min(datediff('day', TIMESTAMP '1992-01-01 00:00:00',
+                            o_orderdate)) AS BIGINT)
+                       AS min_days_since_epoch92
+            FROM orders GROUP BY 1, 2
         """,
         "kg_filter_battery": f"""
             WITH {_CANDIDATES_CTE},

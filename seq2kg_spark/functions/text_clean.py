@@ -115,3 +115,34 @@ def clean_text_expr(col: Column) -> Column:
     c = F.regexp_replace(c, " – ", " . ")
     c = F.regexp_replace(c, "(?U)^\\s+|\\s+$", "")
     return c
+
+
+# --------------------------------------------------------------------------
+# T4 — lead/trail non-alphanumeric trim (joint_model/evaluate.py:486-498;
+# duplicated at candidate_filtering/evaluate.py:428-439): keep the span
+# from the first to the last alphanumeric character.
+# --------------------------------------------------------------------------
+
+def clean_edges_py(s: str) -> str:
+    start = -1
+    end = -1
+    for i, c in enumerate(s):
+        if c.isalpha() or c.isnumeric():
+            start = i
+            break
+    for i, c in enumerate(s[::-1]):
+        if c.isalpha() or c.isnumeric():
+            end = len(s) - i
+            break
+    return s[start:end]
+
+
+def clean_edges_expr(col: Column) -> Column:
+    """T4 as one Catalyst regexp_extract (unicode letter/number classes
+    match Python's str.isalpha/isnumeric closely for our corpora)."""
+    return F.coalesce(
+        F.regexp_extract(
+            col, "(?Us)([\\p{L}\\p{N}].*[\\p{L}\\p{N}]|[\\p{L}\\p{N}])", 1
+        ),
+        F.lit(""),
+    )

@@ -171,3 +171,82 @@ def candidate_filtering_pipeline(
     cand = generate_candidates(docs, id_col, text_col)
     scored = score_candidates(cand, dim=dim)
     return filter_top_candidates(scored)
+
+
+def label_candidates(
+    candidates: DataFrame,
+    gt_triples: DataFrame,
+    *,
+    cosine_threshold: float | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """C6 — training-data labelling: candidate == ground truth.
+
+    Default: exact broadcast join on (doc_id, s, r, o) — the reference's
+    '\\u2063'-joined string equality (sents_to_triples.py:141,203-206) is an
+    equi-join in disguise.  ``cosine_threshold`` enables the documented
+    all-three-parts-cosine variant (:175-201): parts embed independently,
+    a pair labels positive when every part's cosine distance < threshold —
+    expressed as the blocked join on doc_id + in-batch numpy, never a full
+    cross product.  Ground-truth triples are appended as positives (:223).
+    """
+    gt = gt_triples.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("s"), F.col("r"), F.col("o"),
+    )
+    if cosine_threshold is None:
+        hits = candidates.join(
+            F.broadcast(gt.withColumn("label", F.lit(1))),
+            ["doc_id", "s", "r", "o"], "left",
+        ).na.fill({"label": 0})
+    else:
+        spark = candidates.sparkSession
+
+        def _cos_label(batches):
+            import numpy as np
+
+            from seq2kg_spark.nlp.encoder import HashEncoder
+            from seq2kg_spark.nlp.wordpiece import WordPieceTokenizer
+
+            enc = HashEncoder(dim=dim, context=False)
+            tk = WordPieceTokenizer()
+
+            def emb(phrase):
+                wps, _ = tk.encode_sentence(str(phrase).split())
+                x = enc.encode([wps], max_len=min(len(wps), 32))
+                return x[0, : len(wps)].mean(axis=0)
+
+            def cos_dist(a, b):
+                na, nb = np.linalg.norm(a), np.linalg.norm(b)
+                if na == 0 or nb == 0:
+                    return 1.0
+                return 1.0 - float(np.dot(a, b) / (na * nb))
+
+            for pdf in batches:
+                labels = []
+                for _i, row in pdf.iterrows():
+                    ok = (row["gs"] is not None and all(
+                        cos_dist(emb(row[a]), emb(row[b])) < cosine_threshold
+                        for a, b in (("s", "gs"), ("r", "gr"), ("o", "go"))
+                    ))
+                    labels.append(1 if ok else 0)
+                out = pdf[["doc_id", "s", "r", "o"]].copy()
+                out["label"] = labels
+                yield out
+
+        paired = candidates.join(
+            F.broadcast(gt.select(
+                "doc_id", F.col("s").alias("gs"), F.col("r").alias("gr"),
+                F.col("o").alias("go"))),
+            "doc_id", "left",
+        )
+        hits = paired.mapInPandas(
+            _cos_label,
+            schema="doc_id long, s string, r string, o string, label int",
+        ).groupBy("doc_id", "s", "r", "o").agg(
+            F.max("label").alias("label")
+        )
+    positives = gt.withColumn("label", F.lit(1))
+    return hits.select("doc_id", "s", "r", "o", "label").unionByName(
+        positives
+    ).dropDuplicates(["doc_id", "s", "r", "o", "label"])

@@ -126,3 +126,62 @@ def w6_gt_triples(annotated: DataFrame) -> DataFrame:
         F.col("s1").isNotNull() & F.col("r").isNotNull()
         & F.col("s2").isNotNull()
     ).select("doc_id", "slot", "s1", "r", "s2")
+
+
+def w3_align_tokens(orig_tokens: list[str], retok: list[str]) -> dict[int, int]:
+    """W3 — original↔retokenized alignment (redcoat_to_sents.py:35-51).
+
+    Prefix-match walk with running offset: position i of ``orig_tokens``
+    maps to the first ``retok`` index whose token is a prefix of
+    orig_tokens[i].  Port preserves the final extra mapping entry
+    (``orig_to_spacy[i+1]``).
+    """
+    mapping: dict[int, int] = {}
+    offset = 0
+    i = -1
+    for i in range(len(orig_tokens)):
+        orig_token = orig_tokens[i]
+        if not orig_token.startswith(retok[i + offset]):
+            while not orig_token.startswith(retok[i + offset]):
+                offset += 1
+        mapping[i] = i + offset
+    mapping[i + 1] = i + 1 + offset
+    return mapping
+
+
+def w4_renumber_sentence_triples(
+    sent_mentions: list[dict],
+) -> list[dict]:
+    """W4 — keep per-sentence triples whose head+rel+tail all survive the
+    doc→sentence cut; renumber slots to 1..k (redcoat_to_sents.py:113-147).
+
+    ``sent_mentions``: [{'start','end','labels': [...]}] for ONE sentence.
+    Returns the mentions with labels rewritten to the renumbered slots,
+    dropping labels of incomplete triples.
+    """
+    present: dict[str, set[str]] = {}
+    for m in sent_mentions:
+        for l in m["labels"]:
+            if "/" in l:
+                t, n = l.split("/")
+                present.setdefault(n, set()).add(t)
+    complete = sorted(
+        (n for n, parts in present.items()
+         if {"head", "rel", "tail"} <= parts),
+        key=int,
+    )
+    renumber = {n: str(i + 1) for i, n in enumerate(complete)}
+    out = []
+    for m in sent_mentions:
+        new_labels = []
+        for l in m["labels"]:
+            if "/" not in l:
+                continue
+            t, n = l.split("/")
+            if n in renumber:
+                new_labels.append(t)
+                new_labels.append(f"{t}/{renumber[n]}")
+        if new_labels:
+            out.append({"start": m["start"], "end": m["end"],
+                        "labels": sorted(set(new_labels))})
+    return out
