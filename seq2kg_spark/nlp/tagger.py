@@ -38,6 +38,8 @@ ADPOSITIONS = {
     "onto", "across", "behind", "beyond", "despite", "except", "inside",
     "outside", "toward", "towards", "via", "amid", "along", "off", "than",
     "as", "like", "per", "throughout", "alongside",
+    # subordinating conjunctions (spaCy tags these IN → predicate role)
+    "while", "although", "though", "because", "unless", "whereas", "if",
 }
 
 PRONOUNS = {"he", "she", "it", "they", "we", "i", "you", "who", "whom",
@@ -89,6 +91,102 @@ VERB_STEMS = {
     "demonstrate", "prepare", "enter", "usher", "hold", "visit", "damage",
     "renovate", "injure", "determine", "investigate", "blaze", "drive",
     "involve", "support", "accord", "putting", "according",
+    # broader common-verb coverage (regular stems; inflections derived)
+    "accept", "accuse", "achieve", "acknowledge", "act", "adapt", "adjust",
+    "admit", "adopt", "advertise", "advise", "affect", "agree", "aim",
+    "allege", "allow", "analyze", "answer", "anticipate", "apologize",
+    "apply", "approach", "approve", "argue", "arrange", "arrest", "arrive",
+    "assemble", "assess", "assign", "assist", "assume", "assure", "attach",
+    "attack", "attempt", "attend", "attract", "avoid", "award", "bake",
+    "balance", "ban", "bank", "bear", "beat", "behave", "belong", "benefit",
+    "bet", "bid", "bless", "block", "blow", "boast", "boil", "book",
+    "boost", "borrow", "bother", "bounce", "brand", "breathe", "brew",
+    "broadcast", "browse", "brush", "burn", "burst", "bury", "calculate",
+    "campaign", "cancel", "capture", "care", "carry", "cast", "celebrate",
+    "challenge", "charge", "chase", "chat", "check", "cheer", "chew",
+    "chop", "cite", "clarify", "classify", "clean", "clear", "click",
+    "climb", "cling", "coach", "collaborate", "collapse", "collect",
+    "combine", "comment", "commit", "communicate", "compare", "compete",
+    "compile", "complain", "complete", "comply", "compose", "conclude",
+    "conduct", "confirm", "connect", "consist", "consult", "consume",
+    "contact", "contain", "contend", "contribute", "convert", "convince",
+    "cook", "cooperate", "coordinate", "cope", "copy", "correct",
+    "correspond", "count", "cover", "crack", "crash", "crawl", "criticize",
+    "cross", "cry", "cultivate", "cure", "curb", "date", "deal", "debate",
+    "declare", "decline", "decorate", "dedicate", "defeat", "defend",
+    "define", "delay", "delete", "demand", "deny", "depart", "depend",
+    "deploy", "deposit", "derive", "deserve", "destroy", "detect",
+    "devote", "diagnose", "differ", "dig", "direct", "disagree",
+    "disappear", "discover", "discuss", "dismiss", "display", "distribute",
+    "disturb", "dive", "divide", "dominate", "donate", "double", "doubt",
+    "download", "drag", "dream", "dress", "drink", "drop", "drown", "dry",
+    "earn", "ease", "edit", "educate", "elect", "eliminate", "embrace",
+    "emerge", "emphasize", "employ", "enable", "encounter", "encourage",
+    "end", "endorse", "endure", "enforce", "engage", "enhance", "enjoy",
+    "enroll", "ensure", "entertain", "equip", "escape", "evaluate",
+    "examine", "exceed", "exchange", "exclude", "excuse", "execute",
+    "exercise", "exist", "expand", "experience", "explain", "explode",
+    "explore", "export", "expose", "express", "extend", "face", "fail",
+    "fear", "feature", "feed", "fetch", "file", "fill", "film", "finance",
+    "finish", "fire", "fit", "fix", "flee", "float", "flood", "flow",
+    "focus", "fold", "force", "forecast", "forgive", "form", "foster",
+    "frame", "fry", "fulfill", "function", "fund", "gain", "gather",
+    "generate", "govern", "grab", "grant", "greet", "guarantee", "guard",
+    "guess", "guide", "handle", "hang", "harm", "harvest", "hate", "head",
+    "heal", "heat", "hide", "highlight", "hire", "honor", "hope", "host",
+    "hunt", "hurry", "identify", "ignore", "illustrate", "imagine",
+    "impact", "implement", "imply", "import", "impose", "impress",
+    "inspire", "install", "insist", "inspect", "insure", "integrate",
+    "intend", "interact", "interfere", "interpret", "interview",
+    "introduce", "invent", "invite", "issue", "judge", "jump", "justify",
+    "kick", "kiss", "knock", "label", "lack", "land", "last", "laugh",
+    "lay", "lean", "leap", "learn", "lend", "license", "lift", "light",
+    "limit", "link", "list", "listen", "load", "lobby", "lock", "look",
+    "maintain", "march", "mark", "market", "marry", "match", "matter",
+    "measure", "melt", "mention", "merge", "migrate", "mind", "miss",
+    "mix", "modify", "monitor", "motivate", "mount", "multiply", "murder",
+    "negotiate", "nominate", "note", "notice", "notify", "obey", "object",
+    "observe", "obtain", "occupy", "occur", "operate", "oppose",
+    "organize", "overcome", "overlook", "overload", "owe", "pack",
+    "paint", "park", "participate", "perform", "permit", "persuade",
+    "phone", "pick", "picture", "pile", "pin", "place", "plant", "please",
+    "pledge", "plug", "point", "pop", "pose", "possess", "post", "pour",
+    "practice", "praise", "pray", "predict", "prefer", "present",
+    "preserve", "press", "prevent", "price", "print", "proceed",
+    "process", "proclaim", "progress", "promise", "promote", "prompt",
+    "propose", "protect", "protest", "prove", "publish", "punish",
+    "purchase", "pursue", "push", "qualify", "question", "race", "rain",
+    "rank", "rate", "react", "realize", "rebuild", "recall", "recognize",
+    "recommend", "record", "recover", "recruit", "redesign", "refer",
+    "reflect", "reform", "refuse", "regard", "register", "regret",
+    "regulate", "reject", "relate", "relax", "rely", "remind", "remove",
+    "renew", "rent", "repair", "repeat", "replace", "reply", "represent",
+    "request", "rescue", "research", "reserve", "resign", "resist",
+    "resolve", "respond", "rest", "restore", "restrict", "result",
+    "resume", "retain", "retire", "return", "reveal", "review", "revise",
+    "reward", "ride", "ring", "risk", "roll", "rub", "rule", "rush",
+    "sail", "satisfy", "save", "scan", "schedule", "score", "scratch",
+    "scream", "search", "secure", "select", "sense", "settle", "shake",
+    "shape", "share", "shift", "shine", "ship", "shoot", "shop", "shout",
+    "shrink", "shut", "sing", "sink", "ski", "skip", "slide", "slip",
+    "smell", "smile", "smoke", "snap", "solve", "sound", "spare", "spark",
+    "specialize", "specify", "spell", "spin", "split", "spoil", "sponsor",
+    "spot", "spray", "spread", "spring", "squeeze", "stabilize", "stage",
+    "stare", "state", "steal", "steer", "stem", "step", "stick", "stir",
+    "store", "strengthen", "stress", "stretch", "struggle", "study",
+    "submit", "subscribe", "substitute", "succeed", "suffer", "suit",
+    "supply", "suppose", "surprise", "surround", "survive", "suspect",
+    "suspend", "sustain", "swear", "sweep", "swim", "swing", "switch",
+    "tackle", "tag", "target", "taste", "tend", "test", "thank",
+    "threaten", "tie", "tip", "tolerate", "top", "total", "touch", "tour",
+    "trace", "track", "trade", "train", "transfer", "transform",
+    "translate", "transport", "trap", "travel", "treat", "trigger",
+    "trim", "trust", "tweet", "undergo", "underline", "understand",
+    "undertake", "unite", "update", "upgrade", "upload", "upset", "urge",
+    "value", "vary", "verify", "vote", "wake", "warn", "wash", "waste",
+    "wave", "weigh", "welcome", "whisper", "widen", "wind", "wipe",
+    "wish", "withdraw", "witness", "wonder", "worry", "wrap", "yell",
+    "yield",
 }
 
 ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
@@ -111,8 +209,10 @@ _NOUN_SUFFIXES = ("tion", "sion", "ment", "ness", "ity", "ship", "ance",
                   "ence", "ism", "ist", "er", "or", "cy", "age")
 
 _TOKEN_RE = re.compile(
-    r"[A-Za-z]+(?:[-'][A-Za-z]+)*"   # words incl. hyphen/apostrophe-internal
-    r"|\$|\d[\d,]*(?:\.\d+)?%?"      # currency sign, numbers
+    # words incl. alnum mixes (J50, V6, EcoBoost) and hyphen compounds;
+    # apostrophe-internal only for 2+ chars so possessive 's splits off
+    r"[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+|'[A-Za-z0-9]{2,})*"
+    r"|\$|\d[\d,]*(?:\.\d+)?(?:-[A-Za-z0-9]+)*[A-Za-z]*%?"  # 1970s, 6.3-liter
     r"|'s|’s|n't"                    # clitics
     r"|[^\sA-Za-z0-9]"               # any single punctuation char
 )
@@ -155,15 +255,20 @@ def _tokenize(text: str) -> list[Tok]:
     return toks
 
 
-def _is_verb_form(lower: str) -> bool:
+def _verb_suffix(lower: str) -> str | None:
+    """'base' | 'ing' | 'ed' | 'es' | 's' | None."""
     if lower in VERB_STEMS or lower in AUXILIARIES:
-        return True
+        return "base"
     for suf, strip in (("ing", 3), ("ed", 2), ("es", 2), ("s", 1)):
         if lower.endswith(suf) and len(lower) > strip + 2:
             stem = lower[:-strip]
             if stem in VERB_STEMS or stem + "e" in VERB_STEMS:
-                return True
-    return False
+                return suf
+    return None
+
+
+def _is_verb_form(lower: str) -> bool:
+    return _verb_suffix(lower) is not None
 
 
 def _fine_tag(pos: str, lower: str, text: str) -> str:
@@ -206,21 +311,28 @@ def _assign_pos(toks: list[Tok]) -> None:
         t.sent_start = sent_start
         sent_start = t.text in _SENT_END
     prev_lower = ""
-    for t in toks:
+    prev_pos = ""
+    for ti, t in enumerate(toks):
         w = t.text
         lower = w.lower()
+        nxt_lower = toks[ti + 1].text.lower() if ti + 1 < len(toks) else ""
         if not any(ch.isalnum() for ch in w):
             t.pos, t.tag = "PUNCT", _fine_tag("PUNCT", lower, w)
         elif w == "$":
             t.pos = "SYM"
         elif w[0].isdigit():
             t.pos = "NUM"
-        elif lower in {"'s", "’s"}:
+        elif lower in {"'s", "’s"} or (lower == "s" and prev_lower == "'"):
+            # possessive clitic, incl. the pre-tokenized "' s" spelling
             t.pos = "PART"
+        elif lower in {"ve", "re", "ll", "m"} and prev_lower == "'":
+            t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
         elif lower == "n't" or lower == "not":
             t.pos = "ADV"
         elif lower == "to":
-            t.pos = "PART"
+            # infinitival to (PART/TO) vs prepositional to (ADP/IN)
+            t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
+                               or nxt_lower in AUXILIARIES) else "ADP"
         elif lower in DETERMINERS:
             t.pos = "DET"
         elif lower in PRONOUNS:
@@ -242,9 +354,30 @@ def _assign_pos(toks: list[Tok]) -> None:
                          "ADV" if lower in ADVERBS_EXTRA else "VERB")
             else:
                 t.pos = "PROPN"
-        elif _is_verb_form(lower):
-            # noun/verb ambiguity: after a determiner or adjective → noun
-            t.pos = "NOUN" if prev_lower in DETERMINERS else "VERB"
+        elif _verb_suffix(lower) is not None:
+            suf = _verb_suffix(lower)
+            if (prev_pos in ("DET", "ADP", "NUM", "ADJ")
+                    and prev_lower not in ("that", "which", "who")):
+                # "the work", "of cars", "in question" → nominal context
+                # (but a relative pronoun introduces a verb: "seats that
+                # help make it")
+                t.pos = "NOUN"
+            elif suf in ("s", "es") and prev_pos not in ("PRON", "PROPN",
+                                                         "NOUN"):
+                # 3sg-verb vs plural-noun: need a subject on the left
+                t.pos = "NOUN"
+            else:
+                t.pos = "VERB"
+        elif (lower.endswith("ing") or lower.endswith("ed")) \
+                and prev_lower in AUXILIARIES:
+            # aux + participle: unknown stems still tag as VERB
+            # ("is suing", "was filed")
+            t.pos = "VERB"
+        elif (lower.endswith("ed") and len(lower) > 4
+                and prev_pos in ("NOUN", "PROPN", "NUM", "PRON")):
+            # unknown -ed form right after a nominal → finite verb
+            # ("the CR 25 predated the FF")
+            t.pos = "VERB"
         elif lower in ADVERBS_EXTRA or (lower.endswith("ly") and len(lower) > 4):
             t.pos = "ADV"
         elif lower in ADJECTIVES_EXTRA or lower.endswith(_ADJ_SUFFIXES):
@@ -254,6 +387,7 @@ def _assign_pos(toks: list[Tok]) -> None:
         t.tag = _fine_tag(t.pos, lower, w)
         t.lemma = lower
         prev_lower = lower
+        prev_pos = t.pos
 
 
 def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
@@ -294,10 +428,27 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
         if t.pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
             j = i
             last_nominal = -1
-            while j < n and toks[j].pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
-                if toks[j].pos in ("NOUN", "PROPN"):
-                    last_nominal = j
-                j += 1
+            while j < n:
+                if toks[j].pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
+                    if toks[j].pos in ("NOUN", "PROPN"):
+                        last_nominal = j
+                    j += 1
+                elif (toks[j].pos == "PART"
+                      and toks[j].text.lower() in ("'s", "’s", "s")
+                      and last_nominal >= i and j + 1 < n
+                      and toks[j + 1].pos in ("DET", "ADJ", "NOUN",
+                                              "PROPN", "NUM")):
+                    # possessive bridges the chunk: "Anozie 's notifications"
+                    j += 1
+                elif (toks[j].text == "'" and j + 2 < n
+                      and toks[j + 1].text.lower() == "s"
+                      and last_nominal == j - 1
+                      and toks[j + 2].pos in ("DET", "ADJ", "NOUN",
+                                              "PROPN", "NUM")):
+                    # pre-tokenized possessive: "Anozie ' s notifications"
+                    j += 2
+                else:
+                    break
             if last_nominal >= i:
                 spans.append((i, last_nominal + 1))
             i = j
