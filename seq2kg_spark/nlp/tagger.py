@@ -46,7 +46,8 @@ PRONOUNS = {"he", "she", "it", "they", "we", "i", "you", "who", "whom",
             "which", "her", "him", "his", "its", "their", "our", "them",
             "us", "me", "my", "your", "himself", "herself", "itself",
             "themselves", "what", "whose", "something", "anything",
-            "everything", "nothing", "one"}
+            "everything", "nothing", "one", "everyone", "everybody",
+            "someone", "somebody", "anyone", "anybody", "nobody"}
 
 CONJUNCTIONS = {"and", "or", "but", "nor", "yet", "so"}
 
@@ -322,9 +323,19 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "SYM"
         elif w[0].isdigit():
             t.pos = "NUM"
-        elif lower in {"'s", "’s"} or (lower == "s" and prev_lower == "'"):
-            # possessive clitic, incl. the pre-tokenized "' s" spelling
-            t.pos = "PART"
+        elif lower == "s" and prev_lower == "'":
+            # pre-tokenized clitic: spaCy 2.x tags the orphan "s" VBZ,
+            # which the role assigner turns into a predicate ("Portlandia
+            # ' s Table parody" → pred "s") — match that
+            t.pos = "VERB"
+        elif lower in {"'s", "’s"}:
+            # possessive clitic vs contracted is/has: aux when a verb form
+            # follows ("America's released a video")
+            if (_verb_suffix(nxt_lower) in ("ed", "base", "ing")
+                    or nxt_lower in AUXILIARIES):
+                t.pos = "VERB"
+            else:
+                t.pos = "PART"
         elif lower in {"ve", "re", "ll", "m"} and prev_lower == "'":
             t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
         elif lower == "n't" or lower == "not":
@@ -432,6 +443,9 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                 if toks[j].pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
                     if toks[j].pos in ("NOUN", "PROPN"):
                         last_nominal = j
+                    elif toks[j].pos == "NUM" and last_nominal >= i:
+                        # trailing model numbers extend the NP ("CR 25")
+                        last_nominal = j
                     j += 1
                 elif (toks[j].pos == "PART"
                       and toks[j].text.lower() in ("'s", "’s", "s")
@@ -440,13 +454,6 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                                               "PROPN", "NUM")):
                     # possessive bridges the chunk: "Anozie 's notifications"
                     j += 1
-                elif (toks[j].text == "'" and j + 2 < n
-                      and toks[j + 1].text.lower() == "s"
-                      and last_nominal == j - 1
-                      and toks[j + 2].pos in ("DET", "ADJ", "NOUN",
-                                              "PROPN", "NUM")):
-                    # pre-tokenized possessive: "Anozie ' s notifications"
-                    j += 2
                 else:
                     break
             if last_nominal >= i:
