@@ -52,11 +52,17 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the build side of every similarity op."""
-    return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
+    """Distinct (id, shingle) pairs — the build side of every similarity op.
+
+    Dedup happens inside the array (``array_distinct``) BEFORE the explode:
+    the dedup key contains doc_id, so a shuffle-based dropDuplicates would
+    be pure waste — this keeps the whole stage narrow.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("shingle"),
     )
 
 
@@ -153,18 +159,24 @@ def minhash_lsh_pairs(
                 F.col("y.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a_sh, "doc_a").join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    # Verification via per-doc shingle SETS + array_intersect: the naive
+    # candidates×shingles join explodes to |cand| × avg-shingles rows; the
+    # set join is |cand| rows with a vectorized JVM intersect per row, and
+    # the doc→set dictionary is join-key-partitioned (broadcast when small).
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("shingles"),
+        F.count("*").alias("n"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    a_sets = doc_sets.select(F.col("doc_id").alias("doc_a"),
+                             F.col("shingles").alias("sh_a"),
+                             F.col("n").alias("n_a"))
+    b_sets = doc_sets.select(F.col("doc_id").alias("doc_b"),
+                             F.col("shingles").alias("sh_b"),
+                             F.col("n").alias("n_b"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        cand.join(a_sets, "doc_a")
+        .join(b_sets, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter")
