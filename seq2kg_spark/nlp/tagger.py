@@ -40,6 +40,8 @@ ADPOSITIONS = {
     "as", "like", "per", "throughout", "alongside",
     # subordinating conjunctions (spaCy tags these IN → predicate role)
     "while", "although", "though", "because", "unless", "whereas", "if",
+    # phrasal-verb particles (spaCy ADP/PART → verb-chunk merges R7/R8)
+    "up", "down", "out", "away",
 }
 
 PRONOUNS = {"he", "she", "it", "they", "we", "i", "you", "who", "whom",
@@ -206,6 +208,28 @@ ADJECTIVES_EXTRA = {"new", "old", "latest", "small", "large", "big", "good",
 
 _ADJ_SUFFIXES = ("ous", "ful", "ive", "ic", "ical", "able", "ible", "ant",
                  "ent", "ary", "al", "ish", "less")
+
+# Verb-lexicon members whose NOUN reading dominates in web/news prose:
+# only a strong verbal context (pronoun subject, modal, infinitival to,
+# auxiliary) reads them as verbs.
+NOUN_BIAS = {
+    "crash", "balance", "step", "sale", "sales", "drag", "cause", "time",
+    "law", "reserve", "hope", "hopes", "cost", "costs", "deal", "press",
+    "release", "design", "display", "act", "hand", "matter", "form",
+    "name", "base", "place", "point", "end", "part", "price", "video",
+    "test", "question", "answer", "care", "cure", "curb", "brand", "bank",
+    "book", "fire", "light", "sign", "plant", "park", "phone", "mind",
+    "face", "focus", "frame", "fund", "gain", "guard",
+    "harm", "head", "heat", "honor", "impact", "issue", "judge", "label",
+    "land", "limit", "link", "list", "load", "lock", "mark", "market",
+    "match", "measure", "note", "object", "offer", "order", "pack",
+    "picture", "pile", "pin", "plan", "risk", "roll", "rule", "schedule",
+    "score", "search", "sense", "shape", "share", "shift", "ship", "shop",
+    "smile", "snap", "spark", "spot", "spray", "spring", "stage", "state",
+    "stem", "store", "stress", "tag", "target", "taste", "total", "touch",
+    "tour", "trace", "track", "trade", "trap", "trim", "trust", "value",
+    "wave", "wish", "work", "worry",
+}
 _NOUN_SUFFIXES = ("tion", "sion", "ment", "ness", "ity", "ship", "ance",
                   "ence", "ism", "ist", "er", "or", "cy", "age")
 
@@ -359,13 +383,24 @@ def _assign_pos(toks: list[Tok]) -> None:
             # capitalized → proper noun unless a sentence-initial verb/etc.
             if t.sent_start and (lower in ADPOSITIONS or lower in PRONOUNS
                                  or _is_verb_form(lower)
-                                 or lower in ADVERBS_EXTRA):
+                                 or lower in ADVERBS_EXTRA
+                                 or lower in CONJUNCTIONS
+                                 or lower in AUXILIARIES):
                 t.pos = ("ADP" if lower in ADPOSITIONS else
                          "PRON" if lower in PRONOUNS else
-                         "ADV" if lower in ADVERBS_EXTRA else "VERB")
+                         "ADV" if lower in ADVERBS_EXTRA else
+                         "CCONJ" if lower in CONJUNCTIONS else "VERB")
             else:
                 t.pos = "PROPN"
-        elif _verb_suffix(lower) is not None:
+        elif _verb_suffix(lower) is not None and not (
+                (lower in NOUN_BIAS
+                 or (lower.endswith("s") and lower[:-1] in NOUN_BIAS))
+                and prev_lower not in ("i", "we", "they", "he", "she",
+                                       "you", "it", "will", "would", "can",
+                                       "could", "may", "might", "must",
+                                       "should", "shall", "to", "n't",
+                                       "not")
+                and prev_lower not in AUXILIARIES):
             suf = _verb_suffix(lower)
             if (prev_pos in ("DET", "ADP", "NUM", "ADJ")
                     and prev_lower not in ("that", "which", "who")):
@@ -385,6 +420,9 @@ def _assign_pos(toks: list[Tok]) -> None:
             # ("is suing", "was filed")
             t.pos = "VERB"
         elif (lower.endswith("ed") and len(lower) > 4
+                and not lower.endswith("eed")
+                and lower not in ("hundred", "indeed", "naked", "sacred",
+                                  "wicked", "beloved", "rugged")
                 and prev_pos in ("NOUN", "PROPN", "NUM", "PRON")):
             # unknown -ed form right after a nominal → finite verb
             # ("the CR 25 predated the FF")
@@ -393,6 +431,17 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "ADV"
         elif lower in ADJECTIVES_EXTRA or lower.endswith(_ADJ_SUFFIXES):
             t.pos = "ADJ"
+        elif prev_lower in ("will", "would", "can", "could", "may", "might",
+                            "must", "should", "shall", "to") \
+                or (prev_lower == "n't"):
+            # modal/infinitival context: unknown stem is a verb
+            # ("will shutter stores", "to pinpoint")
+            t.pos = "VERB"
+        elif prev_lower in ("i", "we", "they", "he", "she", "you", "it") \
+                and not lower.endswith("s"):
+            # nominative pronoun + unknown base form → finite verb
+            # ("I joke about...")
+            t.pos = "VERB"
         else:
             t.pos = "NOUN"
         t.tag = _fine_tag(t.pos, lower, w)
@@ -409,9 +458,15 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
     while i < n:
         if toks[i].pos == "PROPN":
             j = i + 1
-            while j < n and (toks[j].pos == "PROPN"
-                             or (toks[j].pos == "NUM" and j > i)
-                             or toks[j].text == "&"):
+            while j < n and (
+                toks[j].pos == "PROPN"
+                or (toks[j].pos == "NUM" and j > i)
+                or toks[j].text == "&"
+                # title-case function word bridging two propers
+                # ("Late Night With Conan O'Brien")
+                or (toks[j].text[:1].isupper() and j + 1 < n
+                    and toks[j + 1].pos == "PROPN")
+            ):
                 j += 1
             while toks[j - 1].pos not in ("PROPN", "NUM"):
                 j -= 1
@@ -543,13 +598,16 @@ _COREF_PRONOUNS = {"he", "she", "it", "they", "him", "her", "them"}
 
 
 def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
-                 text: str) -> list[list[str]]:
+                 chunk_spans: list[tuple[int, int]], text: str) -> list[list[str]]:
     """Stand-in for neuralcoref cluster pairs (reference R2).
 
-    Emits [mention, main] string pairs: pronouns and definite 'the
-    <company>'-style NPs resolve to the nearest preceding entity span.
-    Deterministic left-to-right scan; main = first entity of the doc's
-    cluster (nearest preceding entity mention).
+    Three deterministic rules, scanned left to right:
+    * pronouns → nearest preceding entity span;
+    * definite 'the <company>'-style NPs → nearest preceding entity.
+
+    (A head-word-matching rule — "The original Aquarama" → "Riva
+    Aquarama" — was tried and measurably over-applies vs neuralcoref;
+    left out.)
     """
     pairs: list[list[str]] = []
     ents = [(s, e, text[toks[s].idx:toks[e - 1].end]) for s, e in ent_spans]
@@ -577,6 +635,6 @@ def analyze(text: str) -> Analysis:
     _assign_deps(toks)
     ent_spans = _entity_spans(toks)
     chunk_spans = _noun_chunk_spans(toks)
-    corefs = _coref_pairs(toks, ent_spans, text)
+    corefs = _coref_pairs(toks, ent_spans, chunk_spans, text)
     return Analysis(text=text, tokens=toks, ent_spans=ent_spans,
                     chunk_spans=chunk_spans, corefs=corefs)
