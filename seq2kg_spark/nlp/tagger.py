@@ -213,7 +213,7 @@ _ADJ_SUFFIXES = ("ous", "ful", "ive", "ic", "ical", "able", "ible", "ant",
 # only a strong verbal context (pronoun subject, modal, infinitival to,
 # auxiliary) reads them as verbs.
 NOUN_BIAS = {
-    "crash", "balance", "step", "sale", "sales", "drag", "cause", "time",
+    "car", "crash", "balance", "step", "sale", "sales", "drag", "cause", "time",
     "law", "reserve", "hope", "hopes", "cost", "costs", "deal", "press",
     "release", "design", "display", "act", "hand", "matter", "form",
     "name", "base", "place", "point", "end", "part", "price", "video",
@@ -368,6 +368,9 @@ def _assign_pos(toks: list[Tok]) -> None:
             # infinitival to (PART/TO) vs prepositional to (ADP/IN)
             t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
                                or nxt_lower in AUXILIARIES) else "ADP"
+        elif lower == "that" and prev_pos == "VERB":
+            # complementizer: "is that", "found that" (PTB tags it IN)
+            t.pos = "ADP"
         elif lower in DETERMINERS:
             t.pos = "DET"
         elif lower in PRONOUNS:
@@ -385,11 +388,13 @@ def _assign_pos(toks: list[Tok]) -> None:
                                  or _is_verb_form(lower)
                                  or lower in ADVERBS_EXTRA
                                  or lower in CONJUNCTIONS
-                                 or lower in AUXILIARIES):
+                                 or lower in AUXILIARIES
+                                 or lower in ADJECTIVES_EXTRA):
                 t.pos = ("ADP" if lower in ADPOSITIONS else
                          "PRON" if lower in PRONOUNS else
                          "ADV" if lower in ADVERBS_EXTRA else
-                         "CCONJ" if lower in CONJUNCTIONS else "VERB")
+                         "CCONJ" if lower in CONJUNCTIONS else
+                         "ADJ" if lower in ADJECTIVES_EXTRA else "VERB")
             else:
                 t.pos = "PROPN"
         elif _verb_suffix(lower) is not None and not (
@@ -450,11 +455,24 @@ def _assign_pos(toks: list[Tok]) -> None:
         prev_pos = t.pos
 
 
+_SCALE_WORDS = {"million", "billion", "trillion", "thousand", "hundred",
+                "k", "m", "bn"}
+
+
 def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
-    """Maximal runs of PROPN (+ trailing number, e.g. 'Boeing 747')."""
+    """Maximal runs of PROPN (+ trailing number, e.g. 'Boeing 747'),
+    plus MONEY spans ('$ 175 million') mirroring spaCy's money NER."""
     spans = []
     i = 0
     n = len(toks)
+    # money: $ NUM [scale]
+    for m in range(n - 1):
+        if toks[m].text == "$" and toks[m + 1].pos == "NUM":
+            end = m + 2
+            while end < n and (toks[end].pos == "NUM"
+                               or toks[end].text.lower() in _SCALE_WORDS):
+                end += 1
+            spans.append((m, end))
     while i < n:
         if toks[i].pos == "PROPN":
             j = i + 1
