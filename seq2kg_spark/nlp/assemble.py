@@ -267,3 +267,24 @@ def extract_triples_from_clean_text(clean_text: str) -> list[list[str]]:
     doc_triples = create_triples(rows, analysis.corefs)
     all_triples = enrich_with_paths(doc_triples)
     return filter_battery(all_triples)
+
+
+def rank_by_degree(mytriples: list[list[str]]) -> list[list[str]]:
+    """A11 — degree-sorted ego-graph union (triples_from_text.py:439-485).
+
+    Dead code in the reference (disabled at :521, the component-center
+    ``connect_graphs`` linking is commented out there too) — ported for
+    inventory completeness and exposed as an optional re-ranker.
+    """
+    g = nx.DiGraph()
+    for s, p, o in mytriples:
+        g.add_edge(s, o, p=p)
+    degree_dict = dict(g.degree(g.nodes()))
+    nx.set_node_attributes(g, degree_dict, "degree")
+    egos = nx.DiGraph()
+    for a, _data in sorted(g.nodes(data=True),
+                           key=lambda x: x[1]["degree"], reverse=True):
+        ego = nx.ego_graph(g, a)
+        egos.add_edges_from(ego.edges(data=True))
+        egos.add_nodes_from(ego.nodes(data=True))
+    return [[u, d["p"], v] for u, v, d in egos.edges(data=True)]

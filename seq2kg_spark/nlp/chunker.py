@@ -147,3 +147,87 @@ def candidates_from_doc(doc: str, max_dist: int = 15) -> list[list[str]]:
         phrases = chunk_phrases(tagged)
         out.extend(get_permutations(phrases, max_dist=max_dist))
     return out
+
+
+# --------------------------------------------------------------------------
+# N6 — exhaustive span permutations (redcoat_parser/get_all_permutations.py:
+# 20-61; off the main path but part of the operator inventory).
+# --------------------------------------------------------------------------
+
+_UNIVERSAL_NOMINAL = {"NOUN", "PROPN", "NUM"}
+_UNIVERSAL_RP = {"VERB", "ADP"}
+
+
+def _phrase_type(tagged: list[tuple[str, str]]) -> str:
+    """Universal-tagset phrase typing used by N6: NP = ADJ* NOUN+ (must
+    start the phrase), RP = (VERB|ADP)+ (grammar at
+    get_all_permutations.py:3-10; only the FIRST chunk's type is read)."""
+    if not tagged:
+        return ""
+    pos = []
+    for _w, tag in tagged:
+        if tag in ("NNP", "NNPS"):
+            pos.append("NOUN")
+        elif tag.startswith("NN") or tag == "CD":
+            pos.append("NOUN")
+        elif tag.startswith("VB") or tag == "IN" or tag == "TO":
+            pos.append("RPX")
+        elif tag.startswith("JJ"):
+            pos.append("ADJ")
+        else:
+            pos.append("OTHER")
+    # NP: {<NOUN>+} or {<ADJ>+<NOUN>+} anchored at phrase start
+    i = 0
+    while i < len(pos) and pos[i] == "ADJ":
+        i += 1
+    if i < len(pos) and pos[i] == "NOUN" and all(
+        p == "NOUN" for p in pos[i:]
+    ) and (i == 0 or pos[0] == "ADJ"):
+        return "NP"
+    if all(p == "RPX" for p in pos):
+        return "RP"
+    return ""
+
+
+def get_all_permutations(
+    tokens: list[str], doc_idx: int, max_size: int = 3, max_dist: int = 7
+) -> list[list]:
+    """N6 — every NP/RP/NP span combination within distance bounds."""
+    triples: list[list] = []
+    n = len(tokens)
+    for h in range(1, max_size + 1):
+        for r in range(1, max_size + 1):
+            for t in range(1, max_size + 1):
+                for head_idx in range(0, n - r - t):
+                    head = tokens[head_idx:head_idx + h]
+                    if _phrase_type(pos_tag_tokens(head)) != "NP":
+                        continue
+                    for rel_idx in range(head_idx + h,
+                                         min(head_idx + h + max_dist, n - r)):
+                        rel = tokens[rel_idx:rel_idx + r]
+                        if _phrase_type(pos_tag_tokens(rel)) != "RP":
+                            continue
+                        for tail_idx in range(
+                            head_idx + h + r,
+                            min(head_idx + h + r + max_dist, n),
+                        ):
+                            if tail_idx + t > n:
+                                continue
+                            tail = tokens[tail_idx:tail_idx + t]
+                            if _phrase_type(pos_tag_tokens(tail)) == "NP":
+                                triples.append([
+                                    doc_idx,
+                                    " ".join(head),
+                                    " ".join(rel),
+                                    " ".join(tail),
+                                ])
+    return triples
+
+
+def pos_tag_tokens(tokens: list[str]) -> list[tuple[str, str]]:
+    """PTB tags for an already-tokenized span (N6 helper)."""
+    toks = [Tok(text=w, idx=0) for w in tokens]
+    for i, t in enumerate(toks):
+        t.i = i
+    _assign_pos(toks)
+    return [(t.text, t.tag) for t in toks]
