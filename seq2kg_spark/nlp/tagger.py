@@ -458,6 +458,15 @@ def _assign_pos(toks: list[Tok]) -> None:
 _SCALE_WORDS = {"million", "billion", "trillion", "thousand", "hundred",
                 "k", "m", "bn"}
 
+_MONTHS = {"january", "february", "march", "april", "may", "june", "july",
+           "august", "september", "october", "november", "december"}
+_WEEKDAYS = {"monday", "tuesday", "wednesday", "thursday", "friday",
+             "saturday", "sunday"}
+
+# focus adverbs spaCy attaches inside the NP ("just karma points")
+FOCUS_ADVERBS = {"not", "only", "just", "exactly", "even", "nearly",
+                 "almost"}
+
 
 def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
     """Maximal runs of PROPN (+ trailing number, e.g. 'Boeing 747'),
@@ -473,6 +482,14 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                                or toks[end].text.lower() in _SCALE_WORDS):
                 end += 1
             spans.append((m, end))
+    # dates: [Weekday ,] Month Day — spaCy DATE entities
+    for m in range(n - 1):
+        if toks[m].text.lower() in _MONTHS and toks[m + 1].pos == "NUM":
+            start = m
+            if m >= 2 and toks[m - 1].text == "," \
+                    and toks[m - 2].text.lower() in _WEEKDAYS:
+                start = m - 2
+            spans.append((start, m + 2))
     while i < n:
         if toks[i].pos == "PROPN":
             j = i + 1
@@ -509,8 +526,15 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
             spans.append((i, i + 1))
             i += 1
             continue
-        if t.pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
-            j = i
+        if t.pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM") or (
+                t.text.lower() in FOCUS_ADVERBS and i + 1 < n
+                and toks[i + 1].pos in ("DET", "ADJ", "NOUN", "PROPN",
+                                        "NUM")) or (
+                t.text.lower() in FOCUS_ADVERBS and i + 2 < n
+                and toks[i + 1].text.lower() in FOCUS_ADVERBS
+                and toks[i + 2].pos in ("DET", "ADJ", "NOUN", "PROPN",
+                                        "NUM")):
+            j = i  # scan starts at the adverb; nominals still required
             last_nominal = -1
             while j < n:
                 if toks[j].pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
@@ -519,6 +543,16 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                     elif toks[j].pos == "NUM" and last_nominal >= i:
                         # trailing model numbers extend the NP ("CR 25")
                         last_nominal = j
+                    j += 1
+                elif (toks[j].text.lower() in FOCUS_ADVERBS
+                      and last_nominal < i and j + 1 < n
+                      and toks[j + 1].pos in ("DET", "ADJ", "NOUN",
+                                              "PROPN", "NUM")
+                      or (toks[j].text.lower() in FOCUS_ADVERBS
+                          and last_nominal < i and j + 1 < n
+                          and toks[j + 1].text.lower() in FOCUS_ADVERBS)):
+                    # leading focus adverbs ("not only fabrication
+                    # specialists", "just karma points")
                     j += 1
                 elif (toks[j].pos == "PART"
                       and toks[j].text.lower() in ("'s", "’s", "s")
