@@ -368,8 +368,13 @@ def _assign_pos(toks: list[Tok]) -> None:
             # infinitival to (PART/TO) vs prepositional to (ADP/IN)
             t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
                                or nxt_lower in AUXILIARIES) else "ADP"
-        elif lower == "that" and prev_pos == "VERB":
-            # complementizer: "is that", "found that" (PTB tags it IN)
+        elif lower == "that" and prev_pos == "VERB" and (
+                nxt_lower in DETERMINERS or nxt_lower in PRONOUNS
+                or nxt_lower in AUXILIARIES
+                or (ti + 1 < len(toks)
+                    and toks[ti + 1].text[:1].isupper())):
+            # complementizer: "is that the..." (PTB tags it IN);
+            # "keep that stuff" stays a determiner
             t.pos = "ADP"
         elif lower in DETERMINERS:
             t.pos = "DET"
@@ -424,6 +429,12 @@ def _assign_pos(toks: list[Tok]) -> None:
             # aux + participle: unknown stems still tag as VERB
             # ("is suing", "was filed")
             t.pos = "VERB"
+        elif (lower.endswith("ing") and len(lower) >= 6
+                and lower not in _ING_NOUNS
+                and prev_pos in ("VERB", "PART", "PRON")):
+            # gerund continuing a verb group or after to/pronoun
+            # ("would begin electrifying", "to start building")
+            t.pos = "VERB"
         elif (lower.endswith("ed") and len(lower) > 4
                 and not lower.endswith("eed")
                 and lower not in ("hundred", "indeed", "naked", "sacred",
@@ -466,6 +477,13 @@ _WEEKDAYS = {"monday", "tuesday", "wednesday", "thursday", "friday",
 # focus adverbs spaCy attaches inside the NP ("just karma points")
 FOCUS_ADVERBS = {"not", "only", "just", "exactly", "even", "nearly",
                  "almost"}
+
+# -ing forms that are (almost) always nouns in web prose
+_ING_NOUNS = {"morning", "evening", "thing", "something", "anything",
+              "everything", "nothing", "king", "ring", "wing", "spring",
+              "string", "sibling", "ceiling", "clothing", "lightning",
+              "darling", "dumpling", "duckling", "earring", "railing",
+              "seasoning", "wedding", "styling", "suspension"}
 
 
 def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
