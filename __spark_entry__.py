@@ -310,6 +310,49 @@ def q_ann_topk_dot(spark, sf_dir):
     )
 
 
+def q_quality_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(TS.quality_label(F.col("text")).alias("quality"))
+        .groupBy("quality")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_top_trigram_per_source(spark, sf_dir):
+    from seq2kg_spark.operators.dedup import shingle_table
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_table(docs).join(
+        docs.select("doc_id", "source"), "doc_id")
+    counts = sh.groupBy("source", "shingle").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n"), F.asc("shingle"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("source", "rnk", "shingle", "n")
+    )
+
+
+def q_lang_doc_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TS.token_count_ws(F.col("text"))).alias("total_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN (float cosine — rows-only check)."""
+    from seq2kg_spark.operators.ann import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"),
+                    query_ids=list(range(5)), k=5)
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
@@ -428,6 +471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_dot": q_ann_topk_dot,
+        "quality_histogram": q_quality_histogram,
+        "top_trigram_per_source": q_top_trigram_per_source,
+        "lang_doc_stats": q_lang_doc_stats,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -803,6 +850,51 @@ def oracle_sql() -> dict[str, str]:
                          AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "quality_histogram": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS w
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, len(w) AS n_words,
+                len(list_filter(w, x -> lower(x) IN ({_EN_SQL}))) AS hits,
+                length(text) AS total,
+                length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS cl
+              FROM t
+            )
+            SELECT CASE WHEN n_words < 5 THEN 'too_short'
+                        WHEN (CASE WHEN total > 0 THEN
+                              CAST(floor((total - cl) * 10000.0 / total) AS BIGINT)
+                              ELSE 0 END) > 3000 THEN 'too_punct'
+                        WHEN (CASE WHEN n_words > 0 THEN
+                              CAST(floor(hits * 10000.0 / n_words) AS BIGINT)
+                              ELSE 0 END) = 0 THEN 'no_stopwords'
+                        ELSE 'ok' END AS quality,
+                   count(*) AS n
+            FROM m GROUP BY 1
+        """,
+        "top_trigram_per_source": f"""
+            WITH {_SHINGLES_CTE},
+            counts AS (
+              SELECT d.source, s.shingle, count(*) AS n
+              FROM shingles s JOIN documents d USING (doc_id)
+              GROUP BY 1, 2
+            )
+            SELECT source, rnk, shingle, n FROM (
+              SELECT source, shingle, n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, shingle ASC) AS rnk
+              FROM counts)
+            WHERE rnk <= 3
+        """,
+        "lang_doc_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(list_filter(string_split(text, ' '),
+                       w -> w <> ''))) AS total_words,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
         """,
         "lang_id": f"""
             WITH t AS (

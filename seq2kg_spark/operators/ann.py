@@ -158,3 +158,125 @@ def lsh_bucketed_topk(
         .select("query_id", "rank", "neighbor_id",
                 F.round("cosine", 4).alias("cosine"))
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic Lloyd's iterations, DataFrame-native.
+
+    Seeds = the k vectors with the smallest ids (deterministic, no RNG).
+    Each iteration: assign via argmin over broadcast centroid literals
+    (pure Column expressions), then average per cluster — one shuffle per
+    iteration.  Returns plain Python lists (the coarse quantizer is tiny
+    and rides in closures).
+    """
+    seeds = (
+        emb.orderBy(F.col(id_col).asc()).limit(k)
+        .select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(n_iter):
+        assigned = emb.select(
+            F.col(vec_col).alias("v"),
+            _nearest_centroid_expr(F.col(vec_col), centroids).alias("c"),
+        )
+        sums = assigned.select(
+            "c", *[F.col("v")[i].cast("double").alias(f"x{i}")
+                   for i in range(dim)]
+        ).groupBy("c").agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        new = list(centroids)
+        for r in sums:
+            if r["n"] > 0:
+                new[r["c"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid_expr(vec, centroids: list[list[float]]):
+    """argmin_c ||v - c||² as a Column expression (broadcast-by-literal)."""
+    best_ix = F.lit(0)
+    best_d = None
+    for ix, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, carr,
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+            best_ix = F.lit(ix)
+        else:
+            best_ix = F.when(d < best_d, F.lit(ix)).otherwise(best_ix)
+            best_d = F.least(d, best_d)
+    return best_ix
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means cells, probe the n_probe
+    nearest cells per query, exact cosine re-rank inside probed cells.
+
+    At 10^9 vectors the cell assignment is a narrow projection and the
+    search touches n_probe/n_cells of the corpus; centroids broadcast as
+    plan literals.
+    """
+    cents = kmeans_centroids(emb, k=n_cells, id_col=id_col, vec_col=vec_col,
+                             dim=dim)
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        _nearest_centroid_expr(F.col(vec_col), cents).alias("cell"),
+    )
+
+    # per-query probe cells: distances to all centroids, take n_probe best
+    def probe_cells_expr(vec):
+        pairs = []
+        for ix, c in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(vec, carr,
+                           lambda a, b: (a.cast("double") - b)
+                           * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            pairs.append(F.struct(d.alias("d"), F.lit(ix).alias("ix")))
+        arr = F.array_sort(F.array(*pairs))
+        return F.transform(F.slice(arr, 1, n_probe), lambda s: s["ix"])
+
+    q = (
+        base.where(F.col("vid").isin(query_ids))
+        .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"),
+                F.explode(probe_cells_expr(F.col("v"))).alias("cell"))
+    )
+    cands = (
+        F.broadcast(q).join(base, "cell")
+        .where(F.col("vid") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vid"])
+        .withColumn("cosine", float_cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vid"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias("neighbor_id"),
+                F.round("cosine", 4).alias("cosine"))
+    )

@@ -77,3 +77,34 @@ def windowed_event_counts(
             "event_type", "n", "sum_value",
         )
     )
+
+
+def stream_dedup_pages(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "1 hour",
+    available_now: bool = False,
+):
+    """Streaming exact dedup: first sighting of each (url, text-hash) wins.
+
+    ``dropDuplicates`` over a watermarked stream keeps bounded state —
+    the idiomatic Structured Streaming dedup (no custom state needed);
+    state for keys older than the watermark is evicted.
+    """
+    deduped = (
+        pages_stream.withColumn("text_md5", F.md5(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicates(["url", "text_md5"])
+        .drop("html")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

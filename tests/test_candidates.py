@@ -72,3 +72,23 @@ def test_filtering_pipeline_spark(spark, pages):
     assert all(r["count"] <= 10 for r in per_doc)
     confs = [r.confidence for r in out.collect()]
     assert all(c > 0.33 for c in confs)
+
+
+def test_ann_variants_agree_roughly(spark):
+    from seq2kg_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(5))
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, query_ids=qids, k=5).collect()}
+    iv = {(r.query_id, r.neighbor_id)
+          for r in ivf_topk(emb, query_ids=qids, k=5).collect()}
+    ls = {(r.query_id, r.neighbor_id)
+          for r in lsh_bucketed_topk(emb, query_ids=qids, k=5).collect()}
+    assert len(bf) == 25
+    assert len(bf & iv) / len(bf) >= 0.5   # IVF recall
+    assert len(ls) > 0                     # LSH returns in-bucket matches

@@ -67,3 +67,27 @@ def test_unknown_format_raises(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with pytest.raises(Exception, match="no codec|NotImplemented"):
         media_features(media).collect()
+
+
+def test_streaming_dedup(spark, pages, tmp_path):
+    from pyspark.sql import functions as F
+
+    from seq2kg_spark.streaming.ingest import (
+        read_pages_stream,
+        stream_dedup_pages,
+    )
+
+    src = str(tmp_path / "dup_in")
+    # write the same 10 pages twice (two files → duplicate rows)
+    ten = pages.limit(10)
+    ten.write.parquet(src)
+    ten.write.mode("append").parquet(src)
+    q = stream_dedup_pages(
+        read_pages_stream(spark, src),
+        str(tmp_path / "dup_out"), str(tmp_path / "dup_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "dup_out"))
+    assert out.count() == 10
+    assert out.select("url").distinct().count() == 10
