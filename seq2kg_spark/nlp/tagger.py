@@ -196,7 +196,11 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "then", "here", "there", "very", "too", "just", "still",
                  "already", "soon", "often", "never", "always", "again",
                  "not", "n't", "more", "most", "later", "once", "apparently",
-                 "together", "instead", "however", "meanwhile", "perhaps"}
+                 "together", "instead", "however", "meanwhile", "perhaps",
+                 "even", "when", "where", "why", "how", "yet", "ever",
+                 "maybe", "otherwise", "somehow", "anyway", "moreover",
+                 "furthermore", "nonetheless", "meanwhile", "today",
+                 "tomorrow", "yesterday"}
 
 ADJECTIVES_EXTRA = {"new", "old", "latest", "small", "large", "big", "good",
                     "great", "high", "low", "long", "short", "own", "other",
@@ -204,7 +208,21 @@ ADJECTIVES_EXTRA = {"new", "old", "latest", "small", "large", "big", "good",
                     "several", "many", "much", "top", "major", "main",
                     "black", "white", "red", "blue", "brown", "green",
                     "able", "available", "possible", "likely", "local",
-                    "complete", "total", "full", "whole", "real"}
+                    "complete", "total", "full", "whole", "real",
+                    "similar", "better", "best", "worse", "worst", "bigger",
+                    "biggest", "larger", "largest", "smaller", "smallest",
+                    "higher", "highest", "lower", "lowest", "faster",
+                    "fastest", "slower", "slowest", "earlier", "greater",
+                    "greatest", "used", "entire", "single", "certain",
+                    "different", "difficult", "easy", "hard", "free",
+                    "popular", "recent", "current", "modern", "standard"}
+
+# Capitalized nationality/NORP adjectives stay adjectives (spaCy NORP
+# entities attach as modifiers, not standalone subjects)
+NORP_ADJECTIVES = {"american", "british", "chinese", "german", "french",
+                   "japanese", "italian", "european", "korean", "indian",
+                   "russian", "spanish", "mexican", "canadian",
+                   "australian", "swedish", "dutch"}
 
 _ADJ_SUFFIXES = ("ous", "ful", "ive", "ic", "ical", "able", "ible", "ant",
                  "ent", "ary", "al", "ish", "less")
@@ -389,15 +407,20 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif w[:1].isupper() and (not t.sent_start or lower in midcap or
                                   not _is_verb_form(lower)):
             # capitalized → proper noun unless a sentence-initial verb/etc.
-            if t.sent_start and (lower in ADPOSITIONS or lower in PRONOUNS
-                                 or _is_verb_form(lower)
-                                 or lower in ADVERBS_EXTRA
-                                 or lower in CONJUNCTIONS
-                                 or lower in AUXILIARIES
-                                 or lower in ADJECTIVES_EXTRA):
+            if lower in NORP_ADJECTIVES:
+                t.pos = "ADJ"
+            elif t.sent_start and (lower in ADPOSITIONS or lower in PRONOUNS
+                                   or _is_verb_form(lower)
+                                   or lower in ADVERBS_EXTRA
+                                   or lower in CONJUNCTIONS
+                                   or lower in AUXILIARIES
+                                   or lower in ADJECTIVES_EXTRA
+                                   or (lower.endswith("ly")
+                                       and len(lower) > 4)):
                 t.pos = ("ADP" if lower in ADPOSITIONS else
                          "PRON" if lower in PRONOUNS else
-                         "ADV" if lower in ADVERBS_EXTRA else
+                         "ADV" if lower in ADVERBS_EXTRA
+                         or lower.endswith("ly") else
                          "CCONJ" if lower in CONJUNCTIONS else
                          "ADJ" if lower in ADJECTIVES_EXTRA else "VERB")
             else:
