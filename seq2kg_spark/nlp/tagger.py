@@ -40,6 +40,7 @@ ADPOSITIONS = {
     "as", "like", "per", "throughout", "alongside",
     # subordinating conjunctions (spaCy tags these IN → predicate role)
     "while", "although", "though", "because", "unless", "whereas", "if",
+    "whether",
     # phrasal-verb particles (spaCy ADP/PART → verb-chunk merges R7/R8)
     "up", "down", "out", "away",
 }
@@ -197,7 +198,7 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "already", "soon", "often", "never", "always", "again",
                  "not", "n't", "more", "most", "later", "once", "apparently",
                  "together", "instead", "however", "meanwhile", "perhaps",
-                 "even", "when", "where", "why", "how", "yet", "ever",
+                 "even", "when", "where", "why", "how", "yet", "ever", "back",
                  "maybe", "otherwise", "somehow", "anyway", "moreover",
                  "furthermore", "nonetheless", "meanwhile", "today",
                  "tomorrow", "yesterday"}
@@ -252,9 +253,11 @@ _NOUN_SUFFIXES = ("tion", "sion", "ment", "ness", "ity", "ship", "ance",
                   "ence", "ism", "ist", "er", "or", "cy", "age")
 
 _TOKEN_RE = re.compile(
-    # words incl. alnum mixes (J50, V6, EcoBoost) and hyphen compounds;
+    # acronyms (U.S., U.K.) kept whole like spaCy
+    r"(?:[A-Za-zÀ-ÿ]\.){2,}"
+    # words incl. alnum mixes (J50, V6, EcoBoost), accents, hyphens;
     # apostrophe-internal only for 2+ chars so possessive 's splits off
-    r"[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+|'[A-Za-z0-9]{2,})*"
+    r"|[A-Za-zÀ-ÿ][A-Za-zÀ-ÿ0-9]*(?:-[A-Za-zÀ-ÿ0-9]+|'[A-Za-zÀ-ÿ0-9]{2,})*"
     r"|\$|\d[\d,]*(?:\.\d+)?(?:-[A-Za-z0-9]+)*[A-Za-z]*%?"  # 1970s, 6.3-liter
     r"|'s|’s|n't"                    # clitics
     r"|[^\sA-Za-z0-9]"               # any single punctuation char
