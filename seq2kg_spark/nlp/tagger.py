@@ -57,7 +57,9 @@ CONJUNCTIONS = {"and", "or", "but", "nor", "yet", "so"}
 AUXILIARIES = {"is", "are", "was", "were", "be", "been", "being", "am",
                "has", "have", "had", "having", "do", "does", "did",
                "will", "would", "can", "could", "may", "might", "must",
-               "should", "shall"}
+               "should", "shall",
+               # pre-tokenized contraction stems: "wo n't", "ca n't"
+               "wo", "ca"}
 
 # Common verb stems — enough coverage for news/web prose. Inflections are
 # derived morphologically below.
@@ -255,6 +257,8 @@ _NOUN_SUFFIXES = ("tion", "sion", "ment", "ness", "ity", "ship", "ance",
 _TOKEN_RE = re.compile(
     # acronyms (U.S., U.K.) kept whole like spaCy
     r"(?:[A-Za-zÀ-ÿ]\.){2,}"
+    # single-capital abbreviation before a lowercase word ("E. coli")
+    r"|[A-Z]\.(?=\s[a-z])"
     # words incl. alnum mixes (J50, V6, EcoBoost), accents, hyphens;
     # apostrophe-internal only for 2+ chars so possessive 's splits off
     r"|[A-Za-zÀ-ÿ][A-Za-zÀ-ÿ0-9]*(?:-[A-Za-zÀ-ÿ0-9]+|'[A-Za-zÀ-ÿ0-9]{2,})*"
