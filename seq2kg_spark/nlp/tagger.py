@@ -717,8 +717,11 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
         if not prevs:
             continue
         main = prevs[-1][2]
-        if lower in _COREF_PRONOUNS:
-            if t.text.strip() != main.strip():
+        if lower in ("he", "she", "it", "they") and prevs:
+            # selective resolution: subject pronouns with a close antecedent
+            # (neuralcoref is far more conservative than nearest-entity)
+            last_end = prevs[-1][1]
+            if i - last_end <= 12 and t.text.strip() != main.strip():
                 pairs.append([t.text, main])
         elif (lower in _COREF_NOMINALS and i > 0
               and toks[i - 1].text.lower() == "the"):
