@@ -212,6 +212,14 @@ ADJECTIVES_EXTRA = {"new", "old", "latest", "small", "large", "big", "good",
                     "black", "white", "red", "blue", "brown", "green",
                     "able", "available", "possible", "likely", "local",
                     "complete", "total", "full", "whole", "real",
+                    "important", "significant", "excellent", "efficient",
+                    "consistent", "relevant", "dominant", "confident",
+                    "electric", "electrical", "official", "final", "annual",
+                    "national", "international", "global", "digital",
+                    "special", "general", "several", "additional",
+                    "original", "typical", "traditional", "potential",
+                    "historic", "historical", "classic", "iconic", "basic",
+                    "automatic", "public", "domestic", "economic",
                     "similar", "better", "best", "worse", "worst", "bigger",
                     "biggest", "larger", "largest", "smaller", "smallest",
                     "higher", "highest", "lower", "lowest", "faster",
@@ -227,8 +235,8 @@ NORP_ADJECTIVES = {"american", "british", "chinese", "german", "french",
                    "russian", "spanish", "mexican", "canadian",
                    "australian", "swedish", "dutch"}
 
-_ADJ_SUFFIXES = ("ous", "ful", "ive", "ic", "ical", "able", "ible", "ant",
-                 "ent", "ary", "al", "ish", "less")
+# NOTE: no "ant"/"ent"/"al" — restaurant, president, government, animal...
+_ADJ_SUFFIXES = ("ous", "ful", "ive", "ical", "able", "ible", "ish", "less")
 
 # Verb-lexicon members whose NOUN reading dominates in web/news prose:
 # only a strong verbal context (pronoun subject, modal, infinitival to,
@@ -492,8 +500,11 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "NOUN"
         t.tag = _fine_tag(t.pos, lower, w)
         t.lemma = lower
-        prev_lower = lower
-        prev_pos = t.pos
+        if t.pos != "PUNCT":
+            # punctuation is transparent for context rules
+            # (", reports the Times" still sees the nominal on the left)
+            prev_lower = lower
+            prev_pos = t.pos
 
 
 _SCALE_WORDS = {"million", "billion", "trillion", "thousand", "hundred",
