@@ -269,7 +269,7 @@ _TOKEN_RE = re.compile(
     r"|[A-Z]\.(?=\s[a-z])"
     # words incl. alnum mixes (J50, V6, EcoBoost), accents, hyphens;
     # apostrophe-internal only for 2+ chars so possessive 's splits off
-    r"|[A-Za-zÀ-ÿ][A-Za-zÀ-ÿ0-9]*(?:-[A-Za-zÀ-ÿ0-9]+|'[A-Za-zÀ-ÿ0-9]{2,})*"
+    r"|[A-Za-zÀ-ÿ][A-Za-zÀ-ÿ0-9]*(?:[-/][A-Za-zÀ-ÿ0-9]+|'[A-Za-zÀ-ÿ0-9]{2,})*"
     r"|\$|\d[\d,]*(?:\.\d+)?(?:-[A-Za-z0-9]+)*[A-Za-z]*%?"  # 1970s, 6.3-liter
     r"|'s|’s|n't"                    # clitics
     r"|[^\sA-Za-z0-9]"               # any single punctuation char
@@ -395,8 +395,11 @@ def _assign_pos(toks: list[Tok]) -> None:
                 t.pos = "PART"
         elif lower in {"ve", "re", "ll", "m"} and prev_lower == "'":
             t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
-        elif lower == "n't" or lower == "not":
-            t.pos = "ADV"
+        elif lower == "n't" or lower == "not" or (
+                lower == "t" and prev_lower == "'"):
+            t.pos = "ADV"  # negation incl. pre-tokenized "' t"
+        elif lower in ("oh", "yeah", "hey", "wow", "well") and t.sent_start:
+            t.pos = "ADV"  # interjections stay out of chunks
         elif lower == "to":
             # infinitival to (PART/TO) vs prepositional to (ADP/IN)
             t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
