@@ -154,10 +154,6 @@ def candidates_from_doc(doc: str, max_dist: int = 15) -> list[list[str]]:
 # 20-61; off the main path but part of the operator inventory).
 # --------------------------------------------------------------------------
 
-_UNIVERSAL_NOMINAL = {"NOUN", "PROPN", "NUM"}
-_UNIVERSAL_RP = {"VERB", "ADP"}
-
-
 def _phrase_type(tagged: list[tuple[str, str]]) -> str:
     """Universal-tagset phrase typing used by N6: NP = ADJ* NOUN+ (must
     start the phrase), RP = (VERB|ADP)+ (grammar at

@@ -109,7 +109,7 @@ def score_candidates(
         .distinct()
     )
     emb = phrases.mapInPandas(
-        _embed_phrases(dim), schema=f"phrase string, emb array<float>"
+        _embed_phrases(dim), schema="phrase string, emb array<float>"
     )
     scored_input = (
         cand.join(F.broadcast(emb.withColumnRenamed("emb", "h")),
