@@ -248,6 +248,7 @@ NOUN_BIAS = {
     "name", "base", "place", "point", "end", "part", "price", "video",
     "test", "question", "answer", "care", "cure", "curb", "brand", "bank",
     "book", "fire", "light", "sign", "plant", "park", "phone", "mind",
+    "drink", "food",
     "face", "focus", "frame", "fund", "gain", "guard",
     "harm", "head", "heat", "honor", "impact", "issue", "judge", "label",
     "land", "limit", "link", "list", "load", "lock", "mark", "market",
@@ -386,9 +387,12 @@ def _assign_pos(toks: list[Tok]) -> None:
             # ' s Table parody" → pred "s") — match that
             t.pos = "VERB"
         elif lower in {"'s", "’s"}:
-            # possessive clitic vs contracted is/has: aux when a verb form
-            # follows ("America's released a video")
-            if (_verb_suffix(nxt_lower) in ("ed", "base", "ing")
+            # possessive clitic vs contracted is/has: aux when a past
+            # participle or auxiliary follows ("America's released a
+            # video", "it's been") — NOT -ing ("America's dining capital"
+            # is possessive + gerund modifier)
+            if ((_verb_suffix(nxt_lower) in ("ed", "base")
+                 and nxt_lower not in NOUN_BIAS)
                     or nxt_lower in AUXILIARIES):
                 t.pos = "VERB"
             else:
