@@ -77,7 +77,7 @@ def run_once(cpus: int, path: str) -> dict:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     path = ensure_corpus(n_pages)
