@@ -202,21 +202,29 @@ def enrich_with_paths(doc_triples: list[list[str]]) -> list[list[str]]:
                 if path and len(path) > 2:
                     paths.append(path)
     triples: list[list[str]] = []
+    tset: set[tuple] = set()  # mirrors `triples` (ref does O(n²) `in` checks)
     for p in paths:
         path = [(u, g[u][v]["key"], v) for u, v in zip(p[:-1], p[1:])]
         length = len(p)
         last_pred = path[length - 2][1]
         if last_pred in ("in", "at", "on"):
-            cand = [path[0][0], last_pred, path[length - 2][2]]
-            if cand not in triples:
-                triples.append(cand)
+            cand = (path[0][0], last_pred, path[length - 2][2])
+            if cand not in tset:
+                triples.append(list(cand))
+                tset.add(cand)
         elif " in" in last_pred or " at" in last_pred or " on" in last_pred:
-            cand = [path[0][0], "in", path[length - 2][2]]
-            if [path[0][0], last_pred, path[length - 2][2]] not in triples:
-                triples.append(cand)
+            # reference quirk (:418-420): membership is probed with the
+            # ORIGINAL-pred triple (which, having a multiword pred, never
+            # matches the single-pred items the list holds), while the
+            # REWRITTEN triple is appended — tset mirrors list CONTENT
+            orig = (path[0][0], last_pred, path[length - 2][2])
+            if orig not in tset:
+                triples.append([path[0][0], "in", path[length - 2][2]])
+                tset.add((path[0][0], "in", path[length - 2][2]))
     for t in doc_triples:
-        if t not in triples:
+        if tuple(t) not in tset:
             triples.append(t)
+            tset.add(tuple(t))
     return triples
 
 
@@ -229,8 +237,9 @@ def filter_battery(all_triples: list[list[str]]) -> list[list[str]]:
     ordering is stateful within a doc.
     """
     filtered: list[list[str]] = []
+    seen: set[tuple[str, str, str]] = set()  # mirrors `filtered` for O(1)
     for s, p, o in all_triples:
-        if [s, p, o] in filtered:
+        if (s, p, o) in seen:  # reference: `[s,p,o] in filtered` (O(n²))
             continue
         if s.lower() in _STOP_SET or o.lower() in _STOP_SET:
             continue
@@ -256,6 +265,7 @@ def filter_battery(all_triples: list[list[str]]) -> list[list[str]]:
         obj = re.sub(r"\s\s+", " ", obj)
         if subj and pred and obj:
             filtered.append([subj, pred, obj])
+            seen.add((subj, pred, obj))
     return filtered
 
 
