@@ -60,7 +60,7 @@ def run_once(cpus: int, path: str) -> dict:
                     num_partitions=4 * cpus).count()
     best = None
     n_triples = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         n_triples = extract_triples(pages, num_partitions=4 * cpus).count()
         dt = time.monotonic() - t0
