@@ -310,6 +310,50 @@ def q_ann_topk_dot(spark, sf_dir):
     )
 
 
+def q_moving_avg(spark, sf_dir):
+    """Window FRAME analytics (rows between 2 preceding and current)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderkey")
+         .rowsBetween(-2, 0))
+    return (
+        o.where(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey", "o_orderkey",
+            # integer-cents mean floor → exact across engines
+            F.floor(F.sum("cents").over(w) / F.count("*").over(w))
+            .alias("ma3_cents"),
+        )
+    )
+
+
+def q_percentile_prices(spark, sf_dir):
+    """Exact discrete percentiles via rank arithmetic (cross-engine exact)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                      "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    return (
+        ranked.where(
+            (F.col("rn") == F.ceil(F.col("n") * 0.5))
+            | (F.col("rn") == F.ceil(F.col("n") * 0.9))
+        )
+        .select(
+            "o_orderpriority",
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.lit("p50"))
+            .otherwise(F.lit("p90")).alias("pct"),
+            "price",
+        )
+        .dropDuplicates(["o_orderpriority", "pct"])
+    )
+
+
 def q_quality_histogram(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -471,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_dot": q_ann_topk_dot,
+        "moving_avg": q_moving_avg,
+        "percentile_prices": q_percentile_prices,
         "quality_histogram": q_quality_histogram,
         "top_trigram_per_source": q_top_trigram_per_source,
         "lang_doc_stats": q_lang_doc_stats,
@@ -850,6 +896,41 @@ def oracle_sql() -> dict[str, str]:
                          AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "moving_avg": """
+            WITH c AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_custkey < 200
+            )
+            SELECT o_custkey, o_orderkey,
+                   CAST(floor(
+                     sum(cents) OVER w * 1.0 / count(*) OVER w
+                   ) AS BIGINT) AS ma3_cents
+            FROM c
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "percentile_prices": """
+            WITH ranked AS (
+              SELECT o_orderpriority,
+                     round(o_totalprice, 2) AS price,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice, o_orderkey)
+                         AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM orders
+            ),
+            hit AS (
+              SELECT o_orderpriority,
+                     CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                          THEN 'p50' ELSE 'p90' END AS pct,
+                     price
+              FROM ranked
+              WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+                 OR rn = CAST(ceil(n * 0.9) AS BIGINT)
+            )
+            SELECT DISTINCT o_orderpriority, pct, price FROM hit
         """,
         "quality_histogram": f"""
             WITH t AS (
