@@ -66,6 +66,7 @@ _STOP_SET = frozenset(ALL_STOP_WORDS)
 # A10 determiner/possessive drop list (triples_from_text.py:512)
 DROP_WORDS = ["a", "an", "the", "its", "their", "his", "her", "our", "all",
               "old", "new", "latest", "who", "that", "this", "these", "those"]
+_DROP_SET = frozenset(DROP_WORDS)
 
 
 def _sentences_from_rows(rows: list[tuple]) -> list[list[list]]:
@@ -99,10 +100,16 @@ def _predicates(sent: list[list]) -> dict[int, str]:
             if spo == "predicate" and w != "'s" and w != '"'}
 
 
-def _roles_between(sent, start, end, wanted=("subject", "entity", "object")):
+_ROLE_SET = frozenset(("subject", "entity", "object"))
+
+
+def _roles_between(sent, start, end):
+    # reference tests `'subject' in spo or ...` (substring); role strings
+    # are exact and no PTB tag contains them, so set membership is
+    # equivalent and ~3x faster on the hot path
     out = {}
     for w, ix, spo in sent:
-        if start <= ix <= end and any(r in spo for r in wanted):
+        if start <= ix <= end and spo in _ROLE_SET:
             out[ix] = w
     return out
 
@@ -258,9 +265,10 @@ def filter_battery(all_triples: list[list[str]]) -> list[list[str]]:
         subj = s.strip("[,- :'\"\n]*")
         pred = p.strip("[- :'\"\n]*.")
         obj = o.strip("[,- :'\"\n]*")
-        for sw in DROP_WORDS:
-            subj = " ".join(w for w in subj.split() if w != sw)
-            obj = " ".join(w for w in obj.split() if w != sw)
+        # single pass == the reference's 17 sequential split/joins
+        # (drop words contain no spaces; result identical)
+        subj = " ".join(w for w in subj.split() if w not in _DROP_SET)
+        obj = " ".join(w for w in obj.split() if w not in _DROP_SET)
         subj = re.sub(r"\s\s+", " ", subj)
         obj = re.sub(r"\s\s+", " ", obj)
         if subj and pred and obj:
