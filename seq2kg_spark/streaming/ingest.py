@@ -108,3 +108,68 @@ def stream_dedup_pages(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_events_stateful(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful operator: gap-based sessionization per user via
+    ``applyInPandasWithState`` (the escape hatch when watermarked windows
+    can't express the semantics — session end depends on the NEXT event).
+
+    State per user: (session_start, last_ts, n_events, sum_value).  A new
+    micro-batch extends the open session or closes it and emits a row when
+    the gap exceeds ``gap_seconds``.  Timeout closes idle sessions.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = (
+        "session_start timestamp, last_ts timestamp, n_events long, "
+        "sum_value double"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                ss, last, n, sv = state.get
+                rows.append((user_id, ss, last, n, sv))
+                state.remove()
+        else:
+            events = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(events):
+                events = events.sort_values("ts")
+                if state.exists:
+                    ss, last, n, sv = state.get
+                else:
+                    ss = last = events["ts"].iloc[0]
+                    n, sv = 0, 0.0
+                for ts, val in zip(events["ts"], events["value"]):
+                    if (ts - last).total_seconds() > gap_seconds and n > 0:
+                        rows.append((user_id, ss, last, n, sv))
+                        ss, n, sv = ts, 0, 0.0
+                    n += 1
+                    sv += float(val)
+                    last = ts
+                state.update((ss, last, n, sv))
+                state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end",
+                           "n_events", "sum_value"],
+        )
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

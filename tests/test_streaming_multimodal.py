@@ -91,3 +91,41 @@ def test_streaming_dedup(spark, pages, tmp_path):
     out = spark.read.parquet(str(tmp_path / "dup_out"))
     assert out.count() == 10
     assert out.select("url").distinct().count() == 10
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    import datetime as dt
+
+    from seq2kg_spark.streaming.ingest import sessionize_events_stateful
+
+    base = dt.datetime(2020, 1, 1, 9, 0, 0)
+    rows = []
+    # user 1: two sessions separated by a 2h gap; user 2: one session
+    for i in range(3):
+        rows.append((1, base + dt.timedelta(minutes=5 * i), 1.0))
+    for i in range(2):
+        rows.append((1, base + dt.timedelta(hours=3, minutes=5 * i), 2.0))
+    rows.append((2, base, 7.0))
+    src = str(tmp_path / "ev_in")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+    )
+    q = (
+        sessionize_events_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.user_id, r.n_events, r.sum_value)
+           for r in spark.sql("select * from sessions").collect()}
+    # only CLOSED sessions are emitted: user 1's first session closed by
+    # the 2h gap; the open sessions stay in state
+    assert (1, 3, 3.0) in got
