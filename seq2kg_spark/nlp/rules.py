@@ -31,11 +31,12 @@ _DEP_PRIORITY = ("ROOT", "nsubj", "nsubjpass", "dobj", "pobj")
 def filter_spans(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
     """R3 — greedy longest-first non-overlapping span filter.
 
-    Mirrors reference triples_from_text.py:47-57: sort by (length desc,
-    start asc), keep a span iff neither its first nor its last token was
-    already claimed, then claim the whole range.
+    Mirrors reference triples_from_text.py:47-57: sort by
+    ``(length, start)`` REVERSED — so equal-length overlaps prefer the
+    LATER span (the reference's exact tie-break) — keep a span iff neither
+    its first nor its last token was already claimed, then claim the range.
     """
-    sorted_spans = sorted(spans, key=lambda s: (s[1] - s[0], -s[0]), reverse=True)
+    sorted_spans = sorted(spans, key=lambda s: (s[1] - s[0], s[0]), reverse=True)
     result: list[tuple[int, int]] = []
     seen: set[int] = set()
     for start, end in sorted_spans:

@@ -12,8 +12,9 @@ from seq2kg_spark.nlp.tagger import analyze
 def test_filter_spans_longest_first_non_overlapping():
     # (0,3) wins over (1,2); (4,6) independent
     assert filter_spans([(1, 2), (0, 3), (4, 6)]) == [(0, 3), (4, 6)]
-    # equal length → earlier start wins, later overlapping dropped
-    assert filter_spans([(2, 4), (0, 2), (3, 5)]) == [(0, 2), (2, 4)]
+    # equal length → LATER start wins (reference tie-break), then the
+    # greedy claim drops overlaps
+    assert filter_spans([(2, 4), (0, 2), (3, 5)]) == [(3, 5), (0, 2)]
 
 
 def test_entity_merge_and_token_table():
