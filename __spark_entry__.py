@@ -474,7 +474,15 @@ def q_kg_neural_triples(spark, sf_dir):
 
     ship_package(spark)
     docs = _t(spark, sf_dir, "documents")
-    return neural_extract_triples(_docs_as_pages(docs), num_partitions=16)
+    out = neural_extract_triples(_docs_as_pages(docs), num_partitions=16)
+    # Space-join the type arrays: matches the reference's t1/t2 CSV columns
+    # (joint_model/triples_from_test_data.py:36-40) and keeps every column
+    # hashable for the driver's canonicalizer.
+    return out.select(
+        "url", "subj", "pred", "obj",
+        F.array_join("subj_types", " ").alias("subj_types"),
+        F.array_join("obj_types", " ").alias("obj_types"),
+    )
 
 
 def q_kg_candidate_filtering(spark, sf_dir):
@@ -637,8 +645,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
                        AS k_mod,
                    count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
             FROM events GROUP BY 1
         """,
         "set_ops": """
@@ -739,8 +747,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d
             )
             SELECT count(*) AS n_docs,
-                   sum(CASE WHEN n_gold = n_inter AND n_pred = n_inter
-                            THEN 1 ELSE 0 END) AS n_strict,
+                   CAST(sum(CASE WHEN n_gold = n_inter AND n_pred = n_inter
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_strict,
                    CAST(floor(sum(n_inter) * 10000.0 /
                         greatest(sum(n_pred), 1)) AS BIGINT) AS micro_p_e4,
                    CAST(floor(sum(n_inter) * 10000.0 /
@@ -972,8 +980,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_doc_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(len(list_filter(string_split(text, ' '),
-                       w -> w <> ''))) AS total_words,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                       w -> w <> ''))) AS BIGINT) AS total_words,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY lang
         """,
