@@ -204,10 +204,18 @@ def enrich_with_paths(doc_triples: list[list[str]]) -> list[list[str]]:
         n1 = ents_capitals[i]
         for j in range(1, len(ents_capitals)):
             n2 = ents_capitals[j]
-            for src, dst in ((n1, n2), (n2, n1)):
-                path = paths_from[src].get(dst)
-                if path and len(path) > 2:
-                    paths.append(path)
+            # Reference quirk (:397-406): both directional shortest_path
+            # calls share ONE try/except, so when n1->n2 raises
+            # NetworkXNoPath the n2->n1 lookup is never attempted — the
+            # reverse direction is only probed when the forward path EXISTS.
+            fwd = paths_from[n1].get(n2)
+            if fwd is None:
+                continue
+            if len(fwd) > 2:
+                paths.append(fwd)
+            rev = paths_from[n2].get(n1)
+            if rev is not None and len(rev) > 2:
+                paths.append(rev)
     triples: list[list[str]] = []
     tset: set[tuple] = set()  # mirrors `triples` (ref does O(n²) `in` checks)
     for p in paths:

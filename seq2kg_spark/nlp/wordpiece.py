@@ -6,16 +6,23 @@ a cased vocab, ``##`` continuation prefix, ``[UNK]`` for unmatchable
 tokens, ``[CLS]…[SEP]`` wrapping, and the token→wordpiece index map
 (joint_model/data_utils.py:50-59).
 
-The released BERT vocab is not shipped in this environment, so the default
-vocab is a deterministic stand-in: all printable single characters plus the
-engine's closed-class lexicons and common suffixes.  The algorithm (and
-everything downstream) is vocab-agnostic — point ``WordPieceTokenizer`` at
-a real ``vocab.txt`` on a production cluster and the stand-in disappears.
+Default vocab resolution (``resolve_vocab_path``): the ``SEQ2KG_BERT_VOCAB``
+env var first (on a cluster: ship the file via ``spark-submit --files
+vocab.txt`` and point the var at it), then the reference checkout's shipped
+public bert-base-cased ``vocab.txt`` (28,996 entries) when present locally.
+Only when neither exists does a deterministic stand-in vocab (printable
+chars + closed-class lexicons + common suffixes) kick in, so wordpiece
+streams are byte-identical to the reference tokenizer wherever the real
+vocab is reachable.  ``from_vocab_file`` mirrors the reference
+``load_vocab`` exactly (tokenization.py:122-134): one index per line,
+``strip()``-ed, duplicates keep the LATER index.
 """
 
 from __future__ import annotations
 
+import os
 import string
+from functools import lru_cache
 
 from seq2kg_spark.nlp.tagger import (
     ADJECTIVES_EXTRA,
@@ -32,6 +39,45 @@ PAD, UNK, CLS, SEP = "[PAD]", "[UNK]", "[CLS]", "[SEP]"
 
 _COMMON_SUFFIXES = ["ing", "ed", "er", "est", "ly", "tion", "sion", "ment",
                     "ness", "ity", "es", "s", "al", "ic", "ous", "ive"]
+
+
+_REFERENCE_VOCAB_PATHS = (
+    "/root/reference/sourcecode/end_to_end_model/bert/vocab.txt",
+    "/root/reference/sourcecode/joint_model/bert/vocab.txt",
+)
+
+
+def resolve_vocab_path() -> str | None:
+    """SEQ2KG_BERT_VOCAB env var, else the reference checkout's public
+    bert-base-cased vocab when present, else None (stand-in vocab)."""
+    env = os.environ.get("SEQ2KG_BERT_VOCAB")
+    if env:
+        return env if os.path.exists(env) else None
+    for p in _REFERENCE_VOCAB_PATHS:
+        if os.path.exists(p):
+            return p
+    return None
+
+
+@lru_cache(maxsize=4)
+def load_vocab_file(path: str) -> "tuple[tuple[str, int], ...]":
+    """Reference load_vocab semantics (tokenization.py:122-134): every line
+    consumes an index; the token is whitespace-stripped; a duplicate token
+    keeps the later index.  Cached (the tokenizer is built inside Arrow-batch
+    UDFs — one parse per executor process, not per batch)."""
+    vocab: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for index, line in enumerate(f):
+            vocab[line.strip()] = index
+    return tuple(vocab.items())
+
+
+@lru_cache(maxsize=1)
+def _resolved_default_vocab() -> "tuple[tuple[str, int], ...]":
+    path = resolve_vocab_path()
+    if path is not None:
+        return load_vocab_file(path)
+    return tuple(default_vocab().items())
 
 
 def default_vocab() -> dict[str, int]:
@@ -53,20 +99,17 @@ def default_vocab() -> dict[str, int]:
 
 
 class WordPieceTokenizer:
+    # max_input_chars_per_word=200 matches the reference WordpieceTokenizer
+    # default (tokenization.py:304)
     def __init__(self, vocab: dict[str, int] | None = None,
-                 max_chars_per_word: int = 100):
-        self.vocab = vocab if vocab is not None else default_vocab()
+                 max_chars_per_word: int = 200):
+        self.vocab = (vocab if vocab is not None
+                      else dict(_resolved_default_vocab()))
         self.max_chars_per_word = max_chars_per_word
 
     @classmethod
     def from_vocab_file(cls, path: str) -> "WordPieceTokenizer":
-        vocab: dict[str, int] = {}
-        with open(path, encoding="utf-8") as f:
-            for line in f:
-                tok = line.rstrip("\n")
-                if tok and tok not in vocab:
-                    vocab[tok] = len(vocab)
-        return cls(vocab)
+        return cls(dict(load_vocab_file(path)))
 
     def wordpieces_of(self, token: str) -> list[str]:
         """Greedy longest-match-first split of one token."""

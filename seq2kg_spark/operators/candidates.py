@@ -108,9 +108,11 @@ def score_candidates(
         .unionAll(cand.select(F.col("o").alias("phrase")))
         .distinct()
     )
+    # cache: each F.broadcast() below re-executes the plan it wraps, so an
+    # uncached emb would run the chunker+encoder THREE times per job
     emb = phrases.mapInPandas(
         _embed_phrases(dim), schema="phrase string, emb array<float>"
-    )
+    ).cache()
     scored_input = (
         cand.join(F.broadcast(emb.withColumnRenamed("emb", "h")),
                   cand["s"] == emb["phrase"]).drop("phrase")
@@ -210,28 +212,42 @@ def label_candidates(
 
             enc = HashEncoder(dim=dim, context=False)
             tk = WordPieceTokenizer()
+            memo: dict[str, np.ndarray] = {}  # each distinct phrase embeds ONCE
 
-            def emb(phrase):
-                wps, _ = tk.encode_sentence(str(phrase).split())
-                x = enc.encode([wps], max_len=min(len(wps), 32))
-                return x[0, : len(wps)].mean(axis=0)
-
-            def cos_dist(a, b):
-                na, nb = np.linalg.norm(a), np.linalg.norm(b)
-                if na == 0 or nb == 0:
-                    return 1.0
-                return 1.0 - float(np.dot(a, b) / (na * nb))
+            def emb_rows(col) -> np.ndarray:
+                out = np.zeros((len(col), dim), dtype=np.float32)
+                for i, phrase in enumerate(col):
+                    key = str(phrase)
+                    v = memo.get(key)
+                    if v is None:
+                        wps, _m = tk.encode_sentence(key.split())
+                        x = enc.encode([wps], max_len=min(len(wps), 32))
+                        v = x[0, : len(wps)].mean(axis=0)
+                        memo[key] = v
+                    out[i] = v
+                return out
 
             for pdf in batches:
-                labels = []
-                for _i, row in pdf.iterrows():
-                    ok = (row["gs"] is not None and all(
-                        cos_dist(emb(row[a]), emb(row[b])) < cosine_threshold
-                        for a, b in (("s", "gs"), ("r", "gr"), ("o", "go"))
-                    ))
-                    labels.append(1 if ok else 0)
                 out = pdf[["doc_id", "s", "r", "o"]].copy()
-                out["label"] = labels
+                if len(pdf) == 0:
+                    out["label"] = pd.Series([], dtype="int32")
+                    yield out
+                    continue
+                ok = pdf["gs"].notna().to_numpy()
+                for a, b in (("s", "gs"), ("r", "gr"), ("o", "go")):
+                    A = emb_rows(pdf[a].fillna("").tolist())
+                    B = emb_rows(pdf[b].fillna("").tolist())
+                    na = np.linalg.norm(A, axis=1)
+                    nb = np.linalg.norm(B, axis=1)
+                    dot = (A * B).sum(axis=1)
+                    denom = na * nb
+                    # zero-norm ⇒ distance 1.0 (matches the scalar original)
+                    cosd = np.where(
+                        denom > 0, 1.0 - dot / np.where(denom > 0, denom, 1.0),
+                        1.0,
+                    )
+                    ok = ok & (cosd < cosine_threshold)
+                out["label"] = ok.astype("int32")
                 yield out
 
         paired = candidates.join(

@@ -178,6 +178,7 @@ def connected_components(
         return out
 
     prev_hash = None
+    converged = False
     for i in range(max_iter):
         e = star(e, large=True)
         e = star(e, large=False)
@@ -192,8 +193,16 @@ def connected_components(
         )
         cur = (h["n"], h["h"])
         if cur == prev_hash:
+            converged = True
             break
         prev_hash = cur
+    if not converged:
+        # A non-fixpoint edge set is NOT a star forest; min(component) would
+        # silently return a wrong mapping. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star rounds; raise max_iter"
+        )
 
     comp = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node")).distinct().withColumn(

@@ -12,19 +12,22 @@ Design (works the same on parquet here and Iceberg in production):
 * Output is written under ``<out>/bucket=<i>/`` (hive-style partition
   dirs); the lineage table is a parquet dir of small per-bucket rows.
 * **Resume = anti-join**: buckets present in lineage are skipped; the rest
-  are (re)computed with dynamic-partition overwrite, so a half-written
-  bucket dir from a killed run is replaced atomically-enough (Iceberg
-  commits make this fully atomic in production).
+  are (re)computed — every pending bucket dir is explicitly deleted before
+  the dynamic-partition-overwrite write, so a half-written dir from a
+  killed run is removed even when the recompute yields zero rows (Iceberg
+  commits make the replace fully atomic in production).
 * The lineage row is written only *after* the bucket's data is committed:
   lineage row present ⇒ bucket complete.  A crash between data and lineage
   writes costs one recompute, never corruption.
 
-Metrics per bucket: url range, input/output row counts, wall-clock ms.
+Metrics per bucket: url range, input/output row counts, plus
+``job_wall_ms`` — the wall time of the whole multi-bucket stage job
+(buckets run in ONE Spark job for parallelism, so a true per-bucket wall
+time does not exist; the shared figure is named for what it is).
 """
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 from collections.abc import Callable
@@ -34,9 +37,18 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
     "stage string, bucket int, url_min string, url_max string, "
-    "n_input long, n_output long, wall_ms long, run_id string, "
+    "n_input long, n_output long, job_wall_ms long, run_id string, "
     "committed_at timestamp"
 )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the JVM Hadoop FS API — works on any scheme
+    (local, HDFS, s3a), unlike os.walk."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def with_bucket(df: DataFrame, key_col: str = "url", n_buckets: int = 16) -> DataFrame:
@@ -46,10 +58,12 @@ def with_bucket(df: DataFrame, key_col: str = "url", n_buckets: int = 16) -> Dat
 
 
 def read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame:
-    if os.path.exists(lineage_path) and any(
-        f.endswith(".parquet") for _r, _d, fs in os.walk(lineage_path) for f in fs
-    ):
-        return spark.read.parquet(lineage_path)
+    fs, hpath = _hadoop_fs(spark, lineage_path)
+    if fs.exists(hpath):
+        it = fs.listFiles(hpath, True)  # recursive
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return spark.read.parquet(lineage_path)
     return spark.createDataFrame([], LINEAGE_SCHEMA)
 
 
@@ -91,13 +105,24 @@ def run_stage_checkpointed(
     t0 = time.monotonic()
     result = stage_fn(todo)
     assert "bucket" in result.columns, "stage_fn must preserve the bucket column"
+    # Dynamic partition overwrite only replaces partitions PRESENT in the new
+    # result — a pending bucket whose recompute yields zero rows would leave a
+    # half-written dir from a killed run in place (and its stale rows would be
+    # counted as n_output).  Delete every pending bucket dir first so resume
+    # semantics hold even for zero-row buckets.
+    fs, _ = _hadoop_fs(spark, out_path)
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    for b in pending:
+        bdir = jvm_path(f"{out_path}/bucket={b}")
+        if fs.exists(bdir):
+            fs.delete(bdir, True)
     (
         result.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(out_path)
     )
-    wall_ms = int((time.monotonic() - t0) * 1000)
+    job_wall_ms = int((time.monotonic() - t0) * 1000)
 
     # per-bucket metrics from the committed output (cheap scan of new dirs)
     out = spark.read.parquet(out_path).where(F.col("bucket").isin(pending))
@@ -120,7 +145,7 @@ def run_stage_checkpointed(
             in_counts.get(b, (0, None, None))[2],
             int(in_counts.get(b, (0, None, None))[0]),
             int(out_counts.get(b, 0)),
-            wall_ms,
+            job_wall_ms,
             run_id,
         )
         for b in pending
@@ -128,7 +153,7 @@ def run_stage_checkpointed(
     lineage_rows = spark.createDataFrame(
         rows,
         "stage string, bucket int, url_min string, url_max string, "
-        "n_input long, n_output long, wall_ms long, run_id string",
+        "n_input long, n_output long, job_wall_ms long, run_id string",
     ).withColumn("committed_at", F.current_timestamp())
     lineage_rows.write.mode("append").parquet(lineage_path)
     return {"processed": pending, "skipped": sorted(done), "run_id": run_id}

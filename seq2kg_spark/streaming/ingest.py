@@ -89,14 +89,16 @@ def stream_dedup_pages(
 ):
     """Streaming exact dedup: first sighting of each (url, text-hash) wins.
 
-    ``dropDuplicates`` over a watermarked stream keeps bounded state —
-    the idiomatic Structured Streaming dedup (no custom state needed);
-    state for keys older than the watermark is evicted.
+    ``dropDuplicatesWithinWatermark`` keeps bounded state even though the
+    event-time column is NOT part of the dedup key: each (url, text_md5)
+    state entry expires once the watermark passes its event time.  Plain
+    ``dropDuplicates(["url","text_md5"])`` would never evict (the key set
+    excludes the watermark column), leaking state on a long-running stream.
     """
     deduped = (
         pages_stream.withColumn("text_md5", F.md5(F.col("text")))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["url", "text_md5"])
+        .dropDuplicatesWithinWatermark(["url", "text_md5"])
         .drop("html")
     )
     writer = (
