@@ -263,9 +263,27 @@ NOUN_BIAS = {
 _NOUN_SUFFIXES = ("tion", "sion", "ment", "ness", "ity", "ship", "ance",
                   "ence", "ism", "ist", "er", "or", "cy", "age")
 
+# spaCy English tokenizer exceptions: titles, US-state and corporate
+# abbreviations keep their period as one token (so they neither end a
+# sentence for the '.'-counter quirk nor break entity runs)
+_ABBREVS = (
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Rep", "Sen", "Gov", "Gen", "Jr",
+    "Sr", "St", "Lt", "Col", "Capt", "Sgt", "Adm", "Messrs",
+    "Ala", "Ariz", "Ark", "Calif", "Colo", "Conn", "Del", "Fla", "Ga",
+    "Ill", "Ind", "Kan", "Kans", "Ky", "La", "Mass", "Md", "Mich",
+    "Minn", "Miss", "Mo", "Mont", "Neb", "Nebr", "Nev", "Okla", "Ore",
+    "Pa", "Tenn", "Va", "Wash", "Wis",
+    "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Sept",
+    "Oct", "Nov", "Dec",
+    "Inc", "Corp", "Co", "Ltd", "Bros", "No", "Ave", "Blvd", "Rd", "Mt",
+    "vs", "etc", "approx",
+)
+
 _TOKEN_RE = re.compile(
+    # tokenizer-exception abbreviations (word boundary on the left)
+    r"\b(?:" + "|".join(_ABBREVS) + r")\."
     # acronyms (U.S., U.K.) kept whole like spaCy
-    r"(?:[A-Za-zÀ-ÿ]\.){2,}"
+    r"|(?:[A-Za-zÀ-ÿ]\.){2,}"
     # single-capital abbreviation before a lowercase word ("E. coli")
     r"|[A-Z]\.(?=\s[a-z])"
     # words incl. alnum mixes (J50, V6, EcoBoost), accents, hyphens;
@@ -463,9 +481,11 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # (but a relative pronoun introduces a verb: "seats that
                 # help make it")
                 t.pos = "NOUN"
-            elif suf in ("s", "es") and prev_pos not in ("PRON", "PROPN",
-                                                         "NOUN"):
+            elif suf in ("s", "es") and (
+                    prev_pos not in ("PRON", "PROPN", "NOUN")
+                    or prev_lower == "whose"):
                 # 3sg-verb vs plural-noun: need a subject on the left
+                # ("whose" is a possessive determiner, not a subject)
                 t.pos = "NOUN"
             else:
                 t.pos = "VERB"
@@ -534,12 +554,39 @@ _ING_NOUNS = {"morning", "evening", "thing", "something", "anything",
               "seasoning", "wedding", "styling", "suspension"}
 
 
+_ORDINALS = {"first", "second", "third", "fourth", "fifth", "sixth",
+             "seventh", "eighth", "ninth", "tenth"}
+_DEICTIC_DAYS = {"yesterday", "today", "tomorrow", "tonight"}
+_DATE_MODIFIERS = {"last", "next", "late", "early", "recent", "past",
+                   "previous", "coming"}
+_DATE_NOUNS = {"year", "month", "week", "day", "decade", "century",
+               "weekend", "morning", "evening", "afternoon", "night",
+               "summer", "winter", "spring", "autumn", "years", "months",
+               "weeks", "days", "decades"}
+
+
+def _is_year(text: str) -> bool:
+    return (len(text) == 4 and text.isdigit()
+            and 1800 <= int(text) <= 2039) or (
+        len(text) == 5 and text[:4].isdigit() and text.endswith("s")
+        and 1800 <= int(text[:4]) <= 2039)  # "1970s"
+
+
 def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
     """Maximal runs of PROPN (+ trailing number, e.g. 'Boeing 747'),
-    plus MONEY spans ('$ 175 million') mirroring spaCy's money NER."""
+    plus MONEY / DATE / TIME / ORDINAL / CARDINAL / PERCENT spans
+    mirroring spaCy's NER (the reference merges ALL doc.ents types,
+    triples_from_text.py:60-61)."""
     spans = []
     i = 0
     n = len(toks)
+    claimed = [False] * n  # tokens claimed by a multi-token rule below
+
+    def add(s: int, e: int) -> None:
+        spans.append((s, e))
+        for k in range(s, e):
+            claimed[k] = True
+
     # money: $ NUM [scale]
     for m in range(n - 1):
         if toks[m].text == "$" and toks[m + 1].pos == "NUM":
@@ -547,15 +594,63 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
             while end < n and (toks[end].pos == "NUM"
                                or toks[end].text.lower() in _SCALE_WORDS):
                 end += 1
-            spans.append((m, end))
+            add(m, end)
+    # percent: NUM (%|percent)
+    for m in range(n - 1):
+        if toks[m].pos == "NUM" and toks[m + 1].text.lower() in ("%", "percent"):
+            add(m, m + 2)
     # dates: [Weekday ,] Month Day — spaCy DATE entities
     for m in range(n - 1):
-        if toks[m].text.lower() in _MONTHS and toks[m + 1].pos == "NUM":
+        if toks[m].text.lower() in _MONTHS and toks[m + 1].pos == "NUM" \
+                and toks[m].pos != "VERB":
             start = m
             if m >= 2 and toks[m - 1].text == "," \
                     and toks[m - 2].text.lower() in _WEEKDAYS:
                 start = m - 2
-            spans.append((start, m + 2))
+            add(start, m + 2)
+    # deictic days with optional late/early modifier: "late yesterday"
+    for m in range(n):
+        if toks[m].text.lower() in _DEICTIC_DAYS and not claimed[m]:
+            start = m
+            if m > 0 and toks[m - 1].text.lower() in ("late", "early"):
+                start = m - 1
+            add(start, m + 1)
+    # bare weekday / month, with optional last/next/this/late/early
+    for m in range(n):
+        lw = toks[m].text.lower()
+        if (lw in _WEEKDAYS or (lw in _MONTHS and toks[m].pos != "VERB")) \
+                and not claimed[m]:
+            start = m
+            if m > 0 and (toks[m - 1].text.lower() in _DATE_MODIFIERS
+                          or toks[m - 1].text.lower() == "this"):
+                start = m - 1
+            add(start, m + 1)
+    # years: "2019", "the 1970s"
+    for m in range(n):
+        if _is_year(toks[m].text) and not claimed[m]:
+            add(m, m + 1)
+    # date-noun NPs used temporally: "[a|the] [last|past|…] year" — only
+    # when the date noun is the NP head (next token is not a nominal)
+    for m in range(n):
+        lw = toks[m].text.lower()
+        if (lw in _DATE_NOUNS and not claimed[m]
+                and toks[m].pos in ("NOUN", "PROPN")
+                and (m + 1 >= n or toks[m + 1].pos not in ("NOUN", "PROPN"))):
+            start = m
+            if m > 0 and toks[m - 1].text.lower() in _DATE_MODIFIERS:
+                start = m - 1
+            if start > 0 and toks[start - 1].pos == "DET":
+                start -= 1
+            add(start, m + 1)
+    # ordinals: spaCy ORDINAL singles
+    for m in range(n):
+        if toks[m].text.lower() in _ORDINALS and not claimed[m]:
+            add(m, m + 1)
+    # cardinals: bare numbers not already in a span
+    for m in range(n):
+        if toks[m].pos == "NUM" and not claimed[m] \
+                and not toks[m].text.endswith("%"):
+            add(m, m + 1)
     while i < n:
         if toks[i].pos == "PROPN":
             j = i + 1
@@ -589,6 +684,20 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
     while i < n:
         t = toks[i]
         if t.pos == "PRON":
+            # "whose" is a possessive determiner (WP$): it opens a chunk
+            # ("whose lives") rather than standing alone, like spaCy
+            if (t.text.lower() == "whose" and i + 1 < n
+                    and toks[i + 1].pos in ("ADJ", "NOUN", "PROPN")):
+                j = i + 1
+                last_nominal = -1
+                while j < n and toks[j].pos in ("ADJ", "NOUN", "PROPN", "NUM"):
+                    if toks[j].pos in ("NOUN", "PROPN"):
+                        last_nominal = j
+                    j += 1
+                if last_nominal > i:
+                    spans.append((i, last_nominal + 1))
+                    i = j
+                    continue
             spans.append((i, i + 1))
             i += 1
             continue
