@@ -270,9 +270,12 @@ def filter_battery(all_triples: list[list[str]]) -> list[list[str]]:
             continue
         if s == o:
             continue
-        subj = s.strip("[,- :'\"\n]*")
+        # NOTE: quotes deliberately NOT in the subj/obj strip set — the
+        # golden output CSVs keep leading '"' ('" SUV', "'16 Camaro"), i.e.
+        # they were produced by a strip set without quote chars
+        subj = s.strip("[,- :\n]*")
         pred = p.strip("[- :'\"\n]*.")
-        obj = o.strip("[,- :'\"\n]*")
+        obj = o.strip("[,- :\n]*")
         # single pass == the reference's 17 sequential split/joins
         # (drop words contain no spaces; result identical)
         subj = " ".join(w for w in subj.split() if w not in _DROP_SET)

@@ -389,6 +389,9 @@ def _assign_pos(toks: list[Tok]) -> None:
         sent_start = t.text in _SENT_END
     prev_lower = ""
     prev_pos = ""
+    prev2_lower = ""
+    prev2_pos = ""
+    prev_raw = ""  # previous token VERBATIM, punctuation included
     for ti, t in enumerate(toks):
         w = t.text
         lower = w.lower()
@@ -399,7 +402,7 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "SYM"
         elif w[0].isdigit():
             t.pos = "NUM"
-        elif lower == "s" and prev_lower == "'":
+        elif lower == "s" and prev_raw == "'":
             # pre-tokenized clitic: spaCy 2.x tags the orphan "s" VBZ,
             # which the role assigner turns into a predicate ("Portlandia
             # ' s Table parody" → pred "s") — match that
@@ -415,10 +418,10 @@ def _assign_pos(toks: list[Tok]) -> None:
                 t.pos = "VERB"
             else:
                 t.pos = "PART"
-        elif lower in {"ve", "re", "ll", "m"} and prev_lower == "'":
+        elif lower in {"ve", "re", "ll", "m"} and prev_raw == "'":
             t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
         elif lower == "n't" or lower == "not" or (
-                lower == "t" and prev_lower == "'"):
+                lower == "t" and prev_raw == "'"):
             t.pos = "ADV"  # negation incl. pre-tokenized "' t"
         elif lower in ("oh", "yeah", "hey", "wow", "well") and t.sent_start:
             t.pos = "ADV"  # interjections stay out of chunks
@@ -490,9 +493,10 @@ def _assign_pos(toks: list[Tok]) -> None:
             else:
                 t.pos = "VERB"
         elif (lower.endswith("ing") or lower.endswith("ed")) \
-                and prev_lower in AUXILIARIES:
-            # aux + participle: unknown stems still tag as VERB
-            # ("is suing", "was filed")
+                and (prev_lower in AUXILIARIES
+                     or (prev_pos == "ADV" and prev2_lower in AUXILIARIES)):
+            # aux [+ adverb] + participle: unknown stems still tag as VERB
+            # ("is suing", "are understandably shocked")
             t.pos = "VERB"
         elif (lower.endswith("ing") and len(lower) >= 6
                 and lower not in _ING_NOUNS
@@ -508,7 +512,8 @@ def _assign_pos(toks: list[Tok]) -> None:
             # unknown -ed form right after a nominal → finite verb
             # ("the CR 25 predated the FF")
             t.pos = "VERB"
-        elif lower in ADVERBS_EXTRA or (lower.endswith("ly") and len(lower) > 4):
+        elif lower in ADVERBS_EXTRA or (lower.endswith("ly") and len(lower) > 4
+                                        and lower not in _LY_NOUNS):
             t.pos = "ADV"
         elif lower in ADJECTIVES_EXTRA or lower.endswith(_ADJ_SUFFIXES):
             t.pos = "ADJ"
@@ -530,8 +535,10 @@ def _assign_pos(toks: list[Tok]) -> None:
         if t.pos != "PUNCT":
             # punctuation is transparent for context rules
             # (", reports the Times" still sees the nominal on the left)
+            prev2_lower, prev2_pos = prev_lower, prev_pos
             prev_lower = lower
             prev_pos = t.pos
+        prev_raw = w
 
 
 _SCALE_WORDS = {"million", "billion", "trillion", "thousand", "hundred",
@@ -545,6 +552,11 @@ _WEEKDAYS = {"monday", "tuesday", "wednesday", "thursday", "friday",
 # focus adverbs spaCy attaches inside the NP ("just karma points")
 FOCUS_ADVERBS = {"not", "only", "just", "exactly", "even", "nearly",
                  "almost"}
+
+# -ly words that are nouns/adjectives, not adverbs
+_LY_NOUNS = {"family", "assembly", "supply", "rally", "ally", "belly",
+             "jelly", "lily", "monopoly", "anomaly", "butterfly", "tally",
+             "folly", "dolly", "melancholy", "philly", "italy"}
 
 # -ing forms that are (almost) always nouns in web prose
 _ING_NOUNS = {"morning", "evening", "thing", "something", "anything",
@@ -801,7 +813,11 @@ def _assign_deps(toks: list[Tok]) -> None:
                     t.dep = "pobj"
                 elif root is not None and root.pos == "VERB" and t.i > root.i \
                         and not obj_after_root:
-                    t.dep = "dobj"
+                    # predicate nominal after a bare copula is 'attr' in
+                    # spaCy ("LA is the car capital") — R5's of-merge skips
+                    # attr left sides, so the distinction matters downstream
+                    t.dep = ("attr" if root.lemma in AUXILIARIES
+                             else "dobj")
                     obj_after_root = True
                 elif not subj_assigned and root is not None and t.i < root.i:
                     t.dep = "nsubj"
@@ -838,20 +854,73 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
     """
     pairs: list[list[str]] = []
     ents = [(s, e, text[toks[s].idx:toks[e - 1].end]) for s, e in ent_spans]
+    n = len(toks)
+
+    # candidate antecedents: noun chunks AND entity spans (reduced to the
+    # non-overlapping set, as R4 merges them), expanded over adjacent
+    # conjunctions ("X and Y" → one mention, like neuralcoref's
+    # parse-subtree mentions)
+    from seq2kg_spark.nlp.rules import filter_spans as _fs
+    spans = sorted(_fs(list(ent_spans) + list(chunk_spans)))
+    expanded: list[tuple[int, int]] = []
+    k = 0
+    while k < len(spans):
+        s0, _e0 = spans[k]
+        j = k
+        while (j + 1 < len(spans) and spans[j + 1][0] == spans[j][1] + 1
+               and toks[spans[j][1]].pos == "CCONJ"):
+            j += 1
+        expanded.append((s0, spans[j][1]))
+        k = j + 1
+    cands = [(s, e, text[toks[s].idx:toks[e - 1].end]) for s, e in expanded]
+
+    _singular_s = {"news", "series", "species", "politics", "economics",
+                   "analysis", "basis", "crisis", "status", "campus",
+                   "bonus", "focus", "lens", "gas", "bus", "apparatus",
+                   "census", "consensus", "corpus", "virus", "surplus",
+                   "canvas", "atlas", "bias", "thesis", "synopsis"}
+
+    def _plural(s: int, e: int, mention: str) -> bool:
+        head = toks[e - 1].text.lower()
+        return (" and " in mention
+                or (head.endswith("s") and not head.endswith("ss")
+                    and not head.endswith("is") and not head.endswith("us")
+                    and not head.endswith("os")
+                    and head not in _singular_s))
+
+    def _subject_position(i: int) -> bool:
+        j = i + 1
+        while j < n and toks[j].pos == "PUNCT":
+            j += 1
+        return j < n and toks[j].pos == "VERB"
+
     for i, t in enumerate(toks):
         lower = t.text.lower()
-        prevs = [x for x in ents if x[1] <= i]
-        if not prevs:
-            continue
-        main = prevs[-1][2]
-        if lower in ("he", "she", "it", "they") and prevs:
-            # selective resolution: subject pronouns with a close antecedent
-            # (neuralcoref is far more conservative than nearest-entity)
-            last_end = prevs[-1][1]
-            if i - last_end <= 12 and t.text.strip() != main.strip():
-                pairs.append([t.text, main])
+        if lower in ("he", "she", "it", "they"):
+            if not _subject_position(i):
+                continue
+            want_plural = lower == "they"
+            best = None
+            for s, e, mention in cands:
+                if e > i:
+                    break
+                if i - e > 25:
+                    continue
+                if mention.strip() == t.text.strip():
+                    continue
+                if want_plural != _plural(s, e, mention):
+                    continue
+                if lower in ("he", "she") and not mention[:1].isupper():
+                    continue
+                best = mention
+            if best is not None:
+                pairs.append([t.text, best])
         elif (lower in _COREF_NOMINALS and i > 0
               and toks[i - 1].text.lower() == "the"):
+            prevs = [x for x in ents if x[1] <= i]
+            if not prevs:
+                continue
+            main = prevs[-1][2]
             mention = f"{toks[i-1].text} {t.text}"
             if mention.strip() != main.strip():
                 pairs.append([mention, main])
