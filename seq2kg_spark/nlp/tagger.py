@@ -468,6 +468,9 @@ def _assign_pos(toks: list[Tok]) -> None:
                          "ADJ" if lower in ADJECTIVES_EXTRA else "VERB")
             else:
                 t.pos = "PROPN"
+        elif lower == "used" and nxt_lower == "to":
+            # the "used to <verb>" idiom is always verbal
+            t.pos = "VERB"
         elif _verb_suffix(lower) is not None and not (
                 (lower in NOUN_BIAS
                  or (lower.endswith("s") and lower[:-1] in NOUN_BIAS))
@@ -478,7 +481,14 @@ def _assign_pos(toks: list[Tok]) -> None:
                                        "not")
                 and prev_lower not in AUXILIARIES):
             suf = _verb_suffix(lower)
-            if (prev_pos in ("DET", "ADP", "NUM", "ADJ")
+            if (suf == "base" and lower not in _IRREGULAR_PAST
+                    and prev_pos == "NOUN"
+                    and not prev_lower.endswith("s")):
+                # agreement: a PRESENT bare stem right after a singular
+                # common noun cannot be its finite verb ("fuel injector
+                # upgrade") — irregular pasts ("Clarkson said") exempt
+                t.pos = "NOUN"
+            elif (prev_pos in ("DET", "ADP", "NUM", "ADJ")
                     and prev_lower not in ("that", "which", "who")):
                 # "the work", "of cars", "in question" → nominal context
                 # (but a relative pronoun introduces a verb: "seats that
@@ -552,6 +562,24 @@ _WEEKDAYS = {"monday", "tuesday", "wednesday", "thursday", "friday",
 # focus adverbs spaCy attaches inside the NP ("just karma points")
 FOCUS_ADVERBS = {"not", "only", "just", "exactly", "even", "nearly",
                  "almost"}
+
+# irregular past/participle forms that _verb_suffix reports as 'base'
+_IRREGULAR_PAST = {
+    "said", "made", "took", "taken", "got", "went", "gone", "came", "saw",
+    "seen", "knew", "known", "gave", "given", "found", "thought", "told",
+    "became", "shown", "showed", "left", "felt", "put", "brought", "began",
+    "begun", "kept", "held", "wrote", "written", "stood", "heard", "let",
+    "meant", "set", "met", "ran", "paid", "sat", "spoke", "spoken", "lay",
+    "led", "read", "grew", "grown", "lost", "fell", "fallen", "sent",
+    "built", "sold", "bought", "sought", "spent", "cut", "rose", "risen",
+    "drove", "driven", "wore", "worn", "chose", "chosen", "drew", "drawn",
+    "broke", "broken", "won", "hit", "cost", "hurt", "quit", "ate", "eaten",
+    "flew", "flown", "threw", "thrown", "caught", "taught", "fought",
+    "struck", "bet", "bid", "beat", "burst", "cast", "clung", "dealt",
+    "dug", "dreamt", "fed", "hung", "laid", "rode", "ridden", "rang",
+    "rung", "sang", "sung", "sank", "sunk", "shot", "shut", "slid", "swam",
+    "swum", "swung", "tore", "torn", "understood", "woke", "woken", "wound",
+}
 
 # -ly words that are nouns/adjectives, not adverbs
 _LY_NOUNS = {"family", "assembly", "supply", "rally", "ally", "belly",
