@@ -561,7 +561,7 @@ _WEEKDAYS = {"monday", "tuesday", "wednesday", "thursday", "friday",
 
 # focus adverbs spaCy attaches inside the NP ("just karma points")
 FOCUS_ADVERBS = {"not", "only", "just", "exactly", "even", "nearly",
-                 "almost"}
+                 "almost", "very", "quite"}
 
 # irregular past/participle forms that _verb_suffix reports as 'base'
 _IRREGULAR_PAST = {
