@@ -196,6 +196,7 @@ VERB_STEMS = {
 }
 
 ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
+                 "only",
                  "then", "here", "there", "very", "too", "just", "still",
                  "already", "soon", "often", "never", "always", "again",
                  "not", "n't", "more", "most", "later", "once", "apparently",
@@ -237,6 +238,14 @@ NORP_ADJECTIVES = {"american", "british", "chinese", "german", "french",
 
 # NOTE: no "ant"/"ent"/"al" — restaurant, president, government, animal...
 _ADJ_SUFFIXES = ("ous", "ful", "ive", "ical", "able", "ible", "ish", "less")
+_ADJ_SUFFIX_NOUNS = {"initiative", "executive", "representative",
+                     "alternative", "incentive", "objective", "perspective",
+                     "motive", "narrative", "relative", "collective",
+                     "detective", "directive", "additive", "adhesive",
+                     "cable", "table", "vegetable", "timetable", "fable",
+                     "gable", "stable", "constable", "syllable", "parable",
+                     "dish", "fish", "wish", "radish", "squish", "varnish",
+                     "garnish", "polish", "finish", "establishment"}
 
 # Verb-lexicon members whose NOUN reading dominates in web/news prose:
 # only a strong verbal context (pronoun subject, modal, infinitival to,
@@ -525,7 +534,8 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif lower in ADVERBS_EXTRA or (lower.endswith("ly") and len(lower) > 4
                                         and lower not in _LY_NOUNS):
             t.pos = "ADV"
-        elif lower in ADJECTIVES_EXTRA or lower.endswith(_ADJ_SUFFIXES):
+        elif lower in ADJECTIVES_EXTRA or (
+                lower.endswith(_ADJ_SUFFIXES) and lower not in _ADJ_SUFFIX_NOUNS):
             t.pos = "ADJ"
         elif prev_lower in ("will", "would", "can", "could", "may", "might",
                             "must", "should", "shall", "to") \
@@ -561,7 +571,7 @@ _WEEKDAYS = {"monday", "tuesday", "wednesday", "thursday", "friday",
 
 # focus adverbs spaCy attaches inside the NP ("just karma points")
 FOCUS_ADVERBS = {"not", "only", "just", "exactly", "even", "nearly",
-                 "almost", "very", "quite"}
+                 "almost", "very", "quite", "more", "most"}
 
 # irregular past/participle forms that _verb_suffix reports as 'base'
 _IRREGULAR_PAST = {
