@@ -97,6 +97,9 @@ VERB_STEMS = {
     "demonstrate", "prepare", "enter", "usher", "hold", "visit", "damage",
     "renovate", "injure", "determine", "investigate", "blaze", "drive",
     "involve", "support", "accord", "putting", "according",
+    "arise", "arose", "arisen", "born", "dig", "dive", "feature",
+    "produce", "draw", "cook", "specialize", "ensure", "expand",
+    "deliver", "tinker", "relate",
     # broader common-verb coverage (regular stems; inflections derived)
     "accept", "accuse", "achieve", "acknowledge", "act", "adapt", "adjust",
     "admit", "adopt", "advertise", "advise", "affect", "agree", "aim",
@@ -430,8 +433,9 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif lower in {"ve", "re", "ll", "m"} and prev_raw == "'":
             t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
         elif lower == "n't" or lower == "not" or (
-                lower == "t" and prev_raw == "'"):
-            t.pos = "ADV"  # negation incl. pre-tokenized "' t"
+                lower == "t" and prev_raw == "'") or (
+                lower == "n" and nxt_lower == "'"):
+            t.pos = "ADV"  # negation incl. pre-tokenized "' t" / "n ' t"
         elif lower in ("oh", "yeah", "hey", "wow", "well") and t.sent_start:
             t.pos = "ADV"  # interjections stay out of chunks
         elif lower == "to":
@@ -492,7 +496,8 @@ def _assign_pos(toks: list[Tok]) -> None:
             suf = _verb_suffix(lower)
             if (suf == "base" and lower not in _IRREGULAR_PAST
                     and prev_pos == "NOUN"
-                    and not prev_lower.endswith("s")):
+                    and not prev_lower.endswith("s")
+                    and prev_lower not in _IRREGULAR_PLURALS):
                 # agreement: a PRESENT bare stem right after a singular
                 # common noun cannot be its finite verb ("fuel injector
                 # upgrade") — irregular pasts ("Clarkson said") exempt
@@ -572,6 +577,10 @@ _WEEKDAYS = {"monday", "tuesday", "wednesday", "thursday", "friday",
 # focus adverbs spaCy attaches inside the NP ("just karma points")
 FOCUS_ADVERBS = {"not", "only", "just", "exactly", "even", "nearly",
                  "almost", "very", "quite", "more", "most"}
+
+_IRREGULAR_PLURALS = {"people", "men", "women", "children", "media",
+                      "data", "staff", "police", "cattle", "feet", "teeth",
+                      "mice", "geese", "criteria", "phenomena"}
 
 # irregular past/participle forms that _verb_suffix reports as 'base'
 _IRREGULAR_PAST = {
@@ -785,6 +794,18 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                       and toks[j + 1].pos in ("DET", "ADJ", "NOUN",
                                               "PROPN", "NUM")):
                     # possessive bridges the chunk: "Anozie 's notifications"
+                    j += 1
+                elif (toks[j].pos in ("VERB", "ADV") and last_nominal < i
+                      and j > i
+                      and toks[j - 1].pos in ("DET", "ADV")
+                      and (toks[j].text.lower().endswith(("ed", "ing"))
+                           or toks[j].pos == "ADV")
+                      and j + 1 < n
+                      and toks[j + 1].pos in ("ADJ", "NOUN", "PROPN",
+                                              "VERB", "ADV")):
+                    # pre-nominal participle (with optional adverb): spaCy
+                    # noun_chunks include amod participles — "a recently
+                    # launched series", "a used car"
                     j += 1
                 else:
                     break
