@@ -97,6 +97,22 @@ VERB_STEMS = {
     "demonstrate", "prepare", "enter", "usher", "hold", "visit", "damage",
     "renovate", "injure", "determine", "investigate", "blaze", "drive",
     "involve", "support", "accord", "putting", "according",
+    # verbs that are (almost) never nouns in web prose
+    "explain", "describe", "prevent", "occur", "exist", "arrive",
+    "achieve", "avoid", "encourage", "identify", "indicate", "inform",
+    "intend", "maintain", "obtain", "persuade", "prefer", "realize",
+    "recognize", "recommend", "refuse", "rely", "represent", "resemble",
+    "respond", "reveal", "satisfy", "succeed", "tend", "verify", "accuse",
+    "admit", "allow", "apologize", "argue", "assume", "attempt", "belong",
+    "complain", "confirm", "conclude", "consist", "contain", "convince",
+    "decline", "deny", "depend", "disagree", "discover", "discuss",
+    "emphasize", "enable", "encounter", "enjoy", "examine", "exceed",
+    "exclude", "explore", "hesitate", "ignore", "imagine", "imply",
+    "impose", "insist", "intervene", "justify", "mention", "notice",
+    "notify", "observe", "participate", "perceive", "pursue", "reject",
+    "remind", "reply", "resolve", "retain", "solve", "specify", "submit",
+    "suppose", "threaten", "tolerate", "warn", "accompany", "acknowledge",
+    "undergo", "withdraw", "withstand", "overcome", "overlook",
     "arise", "arose", "arisen", "born", "dig", "dive", "feature",
     "produce", "draw", "cook", "specialize", "ensure", "expand",
     "deliver", "tinker", "relate",
