@@ -256,7 +256,11 @@ def filter_battery(all_triples: list[list[str]]) -> list[list[str]]:
     for s, p, o in all_triples:
         if (s, p, o) in seen:  # reference: `[s,p,o] in filtered` (O(n²))
             continue
-        if s.lower() in _STOP_SET or o.lower() in _STOP_SET:
+        # Case-SENSITIVE stopword check and no min-length / short-lowercase
+        # filters: the golden output CSVs contain 'I', 'You', 'Q', 'car',
+        # 'ad' — i.e. they were produced before those guards were added to
+        # triples_from_text.py; parity targets the goldens.
+        if s in _STOP_SET or o in _STOP_SET:
             continue
         if s == p:
             continue
