@@ -225,7 +225,7 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "furthermore", "nonetheless", "meanwhile", "today",
                  "tomorrow", "yesterday"}
 
-ADJECTIVES_EXTRA = {"new", "old", "latest", "small", "large", "big", "good",
+ADJECTIVES_EXTRA = {"ready", "new", "old", "latest", "small", "large", "big", "good",
                     "great", "high", "low", "long", "short", "own", "other",
                     "same", "last", "first", "next", "early", "late", "few",
                     "several", "many", "much", "top", "major", "main",
@@ -454,6 +454,10 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "ADV"  # negation incl. pre-tokenized "' t" / "n ' t"
         elif lower in ("oh", "yeah", "hey", "wow", "well") and t.sent_start:
             t.pos = "ADV"  # interjections stay out of chunks
+        elif lower == "such" and nxt_lower == "as":
+            t.pos = "ADV"  # "such as" — 'such' stays out of the left chunk
+        elif lower == "right" and nxt_lower == "now":
+            t.pos = "ADV"  # "right now"
         elif lower == "to":
             # infinitival to (PART/TO) vs prepositional to (ADP/IN)
             t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
@@ -559,7 +563,8 @@ def _assign_pos(toks: list[Tok]) -> None:
                 lower.endswith(_ADJ_SUFFIXES) and lower not in _ADJ_SUFFIX_NOUNS):
             t.pos = "ADJ"
         elif prev_lower in ("will", "would", "can", "could", "may", "might",
-                            "must", "should", "shall", "to") \
+                            "must", "should", "shall") \
+                or (prev_lower == "to" and prev_pos == "PART") \
                 or (prev_lower == "n't"):
             # modal/infinitival context: unknown stem is a verb
             # ("will shutter stores", "to pinpoint")
