@@ -462,7 +462,12 @@ def _assign_pos(toks: list[Tok]) -> None:
             # infinitival to (PART/TO) vs prepositional to (ADP/IN)
             t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
                                or nxt_lower in AUXILIARIES) else "ADP"
-        elif lower == "that" and prev_pos == "VERB" and (
+        elif lower == "that" and prev_pos in ("NOUN", "PROPN") and (
+                _is_verb_form(nxt_lower) or nxt_lower in AUXILIARIES):
+            # relative pronoun heading a clause: "issues that arise",
+            # "a car that seats five" — spaCy WDT/nsubj, kept out of chunks
+            t.pos = "PRON"
+        elif lower == "that" and prev_pos in ("VERB", "NOUN", "PROPN") and (
                 nxt_lower in DETERMINERS or nxt_lower in PRONOUNS
                 or nxt_lower in AUXILIARIES
                 or (ti + 1 < len(toks)
