@@ -446,14 +446,17 @@ def _assign_pos(toks: list[Tok]) -> None:
                 t.pos = "VERB"
             else:
                 t.pos = "PART"
-        elif lower in {"ve", "re", "ll", "m"} and prev_raw == "'":
-            t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
         elif lower == "n't" or lower == "not" or (
                 lower == "t" and prev_raw == "'") or (
                 lower == "n" and nxt_lower == "'"):
             t.pos = "ADV"  # negation incl. pre-tokenized "' t" / "n ' t"
         elif lower in ("oh", "yeah", "hey", "wow", "well") and t.sent_start:
             t.pos = "ADV"  # interjections stay out of chunks
+        elif lower in {"ve", "re", "ll", "m"} and prev_raw == "'":
+            t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
+        elif lower == "own" and (prev_raw == "'" or prev_raw in ("'s", "\u2019s")
+                                 or prev_pos == "PRON"):
+            t.pos = "ADJ"  # "their own X", "Customs ' own intake"
         elif lower == "such" and nxt_lower == "as":
             t.pos = "ADV"  # "such as" — 'such' stays out of the left chunk
         elif lower == "right" and nxt_lower == "now":
@@ -797,7 +800,9 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
             j = i  # scan starts at the adverb; nominals still required
             last_nominal = -1
             while j < n:
-                if toks[j].pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
+                if toks[j].pos == "DET" and last_nominal >= i:
+                    break  # base NPs have one determiner, at the start
+                elif toks[j].pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
                     if toks[j].pos in ("NOUN", "PROPN"):
                         last_nominal = j
                     elif toks[j].pos == "NUM" and last_nominal >= i:
