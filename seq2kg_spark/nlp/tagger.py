@@ -431,10 +431,11 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif w[0].isdigit():
             t.pos = "NUM"
         elif lower == "s" and prev_raw == "'":
-            # pre-tokenized clitic: spaCy 2.x tags the orphan "s" VBZ,
-            # which the role assigner turns into a predicate ("Portlandia
-            # ' s Table parody" → pred "s") — match that
-            t.pos = "VERB"
+            # pre-tokenized clitic: after a PROPER noun the orphan "s" is
+            # a possessive marker inside the NP ("McDonald ' s endeavor" is
+            # a golden node), after pronouns/common nouns spaCy tags it VBZ
+            # and it becomes a predicate ("It ' s", "city ' s affinity")
+            t.pos = "PART" if prev_pos == "PROPN" else "VERB"
         elif lower in {"'s", "’s"}:
             # possessive clitic vs contracted is/has: aux when a past
             # participle or auxiliary follows ("America's released a
@@ -754,6 +755,15 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                 j += 1
             while toks[j - 1].pos not in ("PROPN", "NUM"):
                 j -= 1
+            # ORG names ending in a possessive: "McDonald ' s" (NER covers
+            # the clitic when the s is possessive-PART after the PROPN)
+            if (j + 1 < n and toks[j].text in ("'", "\u2019")
+                    and toks[j + 1].text.lower() == "s"
+                    and toks[j + 1].pos == "PART"):
+                j += 2
+            elif j < n and toks[j].text.lower() in ("'s", "\u2019s") \
+                    and toks[j].pos == "PART":
+                j += 1
             spans.append((i, j))
             i = j
         else:
@@ -826,6 +836,13 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                                               "PROPN", "NUM")):
                     # possessive bridges the chunk: "Anozie 's notifications"
                     j += 1
+                elif (toks[j].text in ("'", "\u2019") and j + 2 < n
+                      and toks[j + 1].text.lower() == "s"
+                      and toks[j + 1].pos == "PART"
+                      and last_nominal >= i
+                      and toks[j + 2].pos in ("ADJ", "NOUN", "PROPN", "NUM")):
+                    # separated possessive: "McDonald ' s latest endeavor"
+                    j += 2
                 elif (toks[j].pos in ("VERB", "ADV") and last_nominal < i
                       and j > i
                       and toks[j - 1].pos in ("DET", "ADV")
