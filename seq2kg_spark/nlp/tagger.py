@@ -1022,15 +1022,6 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                 best = mention
             if best is not None:
                 pairs.append([t.text, best])
-        elif (lower in _COREF_NOMINALS and i > 0
-              and toks[i - 1].text.lower() == "the"):
-            prevs = [x for x in ents if x[1] <= i]
-            if not prevs:
-                continue
-            main = prevs[-1][2]
-            mention = f"{toks[i-1].text} {t.text}"
-            if mention.strip() != main.strip():
-                pairs.append([mention, main])
     return pairs
 
 
