@@ -460,6 +460,10 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "ADJ"  # "their own X", "Customs ' own intake"
         elif lower == "such" and nxt_lower == "as":
             t.pos = "ADV"  # "such as" — 'such' stays out of the left chunk
+        elif lower == "such":
+            t.pos = "DET"  # predeterminer: "such an accident"
+        elif lower in ("and/or", "either/or"):
+            t.pos = "CCONJ"
         elif lower == "right" and nxt_lower == "now":
             t.pos = "ADV"  # "right now"
         elif lower == "to":
@@ -922,8 +926,11 @@ def _assign_deps(toks: list[Tok]) -> None:
                         and not obj_after_root:
                     # predicate nominal after a bare copula is 'attr' in
                     # spaCy ("LA is the car capital") — R5's of-merge skips
-                    # attr left sides, so the distinction matters downstream
-                    t.dep = ("attr" if root.lemma in AUXILIARIES
+                    # attr left sides, so the distinction matters downstream.
+                    # Orphan clitic copulas ("It ' s", "' re") count.
+                    t.dep = ("attr" if (root.lemma in AUXILIARIES
+                                        or root.lemma in ("s", "re", "ve",
+                                                          "m", "ll"))
                              else "dobj")
                     obj_after_root = True
                 elif not subj_assigned and root is not None and t.i < root.i:
