@@ -113,6 +113,7 @@ VERB_STEMS = {
     "remind", "reply", "resolve", "retain", "solve", "specify", "submit",
     "suppose", "threaten", "tolerate", "warn", "accompany", "acknowledge",
     "undergo", "withdraw", "withstand", "overcome", "overlook",
+    "handle", "crush", "lurk", "hint", "bow", "glance", "stare",
     "arise", "arose", "arisen", "born", "dig", "dive", "feature",
     "produce", "draw", "cook", "specialize", "ensure", "expand",
     "deliver", "tinker", "relate",
@@ -560,6 +561,12 @@ def _assign_pos(toks: list[Tok]) -> None:
                 and prev_pos in ("VERB", "PART", "PRON")):
             # gerund continuing a verb group or after to/pronoun
             # ("would begin electrifying", "to start building")
+            t.pos = "VERB"
+        elif (lower.endswith("ing") and len(lower) >= 6
+                and lower not in _ING_NOUNS
+                and nxt_lower in ADPOSITIONS):
+            # participle directly governing a preposition ("lurking on",
+            # "quilting on") — spaCy VBG, merged into the predicate by R7
             t.pos = "VERB"
         elif (lower.endswith("ed") and len(lower) > 4
                 and not lower.endswith("eed")
