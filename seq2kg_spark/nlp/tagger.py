@@ -113,7 +113,7 @@ VERB_STEMS = {
     "remind", "reply", "resolve", "retain", "solve", "specify", "submit",
     "suppose", "threaten", "tolerate", "warn", "accompany", "acknowledge",
     "undergo", "withdraw", "withstand", "overcome", "overlook",
-    "handle", "crush", "lurk", "hint", "bow", "glance", "stare",
+    "handle", "crush", "lurk", "hint", "bow", "glance", "stare", "bespoke",
     "arise", "arose", "arisen", "born", "dig", "dive", "feature",
     "produce", "draw", "cook", "specialize", "ensure", "expand",
     "deliver", "tinker", "relate",
@@ -456,9 +456,12 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "ADV"  # interjections stay out of chunks
         elif lower in {"ve", "re", "ll", "m"} and prev_raw == "'":
             t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
-        elif lower == "own" and (prev_raw == "'" or prev_raw in ("'s", "\u2019s")
-                                 or prev_pos == "PRON"):
-            t.pos = "ADJ"  # "their own X", "Customs ' own intake"
+        elif lower in ("own", "open") and (
+                prev_raw == "'" or prev_raw in ("'s", "\u2019s")
+                or (prev_pos == "PART" and prev_lower in ("'s", "\u2019s", "s"))
+                or (lower == "own" and prev_pos == "PRON")):
+            t.pos = "ADJ"  # "their own X", "Customs ' own intake",
+            #                "Ferrari ' s open competition barchettas"
         elif lower == "such" and nxt_lower == "as":
             t.pos = "ADV"  # "such as" — 'such' stays out of the left chunk
         elif lower == "such":
@@ -725,10 +728,15 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                           or toks[m - 1].text.lower() == "this"):
                 start = m - 1
             add(start, m + 1)
-    # years: "2019", "the 1970s"
+    # years: "2019", "the 1970s"; conjoined years ("1970s and 1980s")
+    # form ONE DATE span like spaCy
     for m in range(n):
         if _is_year(toks[m].text) and not claimed[m]:
-            add(m, m + 1)
+            if (m + 2 < n and toks[m + 1].pos == "CCONJ"
+                    and _is_year(toks[m + 2].text)):
+                add(m, m + 3)
+            else:
+                add(m, m + 1)
     # date-noun NPs used temporally: "[a|the] [last|past|…] year" — only
     # when the date noun is the NP head (next token is not a nominal)
     for m in range(n):
