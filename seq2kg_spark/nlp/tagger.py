@@ -114,6 +114,7 @@ VERB_STEMS = {
     "suppose", "threaten", "tolerate", "warn", "accompany", "acknowledge",
     "undergo", "withdraw", "withstand", "overcome", "overlook",
     "handle", "crush", "lurk", "hint", "bow", "glance", "stare", "bespoke",
+    "face", "shutter",
     "arise", "arose", "arisen", "born", "dig", "dive", "feature",
     "produce", "draw", "cook", "specialize", "ensure", "expand",
     "deliver", "tinker", "relate",
@@ -487,6 +488,12 @@ def _assign_pos(toks: list[Tok]) -> None:
             # complementizer: "is that the..." (PTB tags it IN);
             # "keep that stuff" stays a determiner
             t.pos = "ADP"
+        elif lower == "one" and (ti + 1 < len(toks)
+                                 and (toks[ti + 1].text[:1].isupper()
+                                      or nxt_lower not in PRONOUNS)):
+            # "one" as a quantifier before a nominal is NUM (spaCy CD);
+            # bare "one"/"no one" stays PRON via the lexicon below
+            t.pos = "NUM" if nxt_lower and nxt_lower[0].isalpha() else "PRON"
         elif lower in DETERMINERS:
             t.pos = "DET"
         elif lower in PRONOUNS:
@@ -754,11 +761,20 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
     for m in range(n):
         if toks[m].text.lower() in _ORDINALS and not claimed[m]:
             add(m, m + 1)
-    # cardinals: bare numbers not already in a span
+    # cardinals: bare numbers not already in a span, with spaCy-style
+    # quantifier premodifiers ("more than 100", "at least one", "about 30")
     for m in range(n):
         if toks[m].pos == "NUM" and not claimed[m] \
                 and not toks[m].text.endswith("%"):
-            add(m, m + 1)
+            start = m
+            if m >= 2 and (toks[m - 2].text.lower(), toks[m - 1].text.lower()) in (
+                    ("more", "than"), ("less", "than"), ("fewer", "than"),
+                    ("at", "least"), ("up", "to"), ("at", "most")):
+                start = m - 2
+            elif m >= 1 and toks[m - 1].text.lower() in (
+                    "about", "nearly", "over", "around", "almost", "some"):
+                start = m - 1
+            add(start, m + 1)
     while i < n:
         if toks[i].pos == "PROPN":
             j = i + 1
