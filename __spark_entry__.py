@@ -397,6 +397,62 @@ def q_ann_ivf_topk(spark, sf_dir):
                     query_ids=list(range(5)), k=5)
 
 
+def q_ann_ivf_int(spark, sf_dir):
+    """IVF over a fixed integer codebook, quantized-int re-rank — exact
+    DuckDB oracle (every step is 64-bit integer arithmetic)."""
+    from seq2kg_spark.operators.ann import ivf_topk_int
+
+    return ivf_topk_int(_t(spark, sf_dir, "embeddings"),
+                        query_ids=list(range(5)), k=5)
+
+
+def q_lsh_bucketed_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN (float cosine re-rank — rows-only check)."""
+    from seq2kg_spark.operators.ann import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"),
+                             query_ids=list(range(10)), k=5)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal decode→feature path over synthetic x-fake payloads
+    derived deterministically from doc_ids (rows-only check; feature
+    vector projected to a string so the canonicalizer can sort)."""
+    import pandas as pd
+
+    from seq2kg_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                   encode_fake_image,
+                                                   media_features)
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(200)
+
+    def to_media(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 24, 8 + (d * 7) % 24
+                rows.append({
+                    "url": f"media://{d}", "kind": "image",
+                    "payload": encode_fake_image(w, h, seed=d),
+                    "meta": {"width": w, "height": h, "sample_rate": None,
+                             "n_frames": None, "format": "x-fake"},
+                })
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(to_media, schema=MEDIA_SCHEMA)
+    feats = media_features(media, num_partitions=8)
+    return feats.select(
+        "url", "kind", "width", "height",
+        F.array_join(
+            F.transform("feature",
+                        lambda x: F.round(x * 10000, 0).cast("long")
+                        .cast("string")), " ").alias("feature_q"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
@@ -529,6 +585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_trigram_per_source": q_top_trigram_per_source,
         "lang_doc_stats": q_lang_doc_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_int": q_ann_ivf_int,
+        "lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "media_features": q_media_features,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -589,6 +648,61 @@ shingles AS (
   FROM shpos
 )
 """
+
+
+def _ann_ivf_int_oracle(n_probe: int = 2, k: int = 5) -> str:
+    """DuckDB twin of ivf_topk_int: the fixed integer codebook is inlined
+    as VALUES literals; L2 uses dot-product expansion (all BIGINT exact)."""
+    from seq2kg_spark.operators.ann import fixed_codebook
+
+    cents = fixed_codebook()
+    vals = ", ".join(
+        f"({ix}, [{', '.join(str(v) for v in c)}]::BIGINT[])"
+        for ix, c in enumerate(cents)
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        cents(ix, cv) AS (VALUES {vals}),
+        dists AS (
+          SELECT a.vec_id, a.qv, c.ix,
+                 CAST(list_dot_product(a.qv, a.qv) AS BIGINT)
+                 - 2 * CAST(list_dot_product(a.qv, c.cv) AS BIGINT)
+                 + CAST(list_dot_product(c.cv, c.cv) AS BIGINT) AS d
+          FROM q a CROSS JOIN cents c
+        ),
+        assign AS (
+          SELECT vec_id, qv, ix AS cell FROM (
+            SELECT vec_id, qv, ix,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, ix) AS rn
+            FROM dists) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, qv AS qq, ix AS cell FROM (
+            SELECT vec_id, qv, ix,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, ix) AS rn
+            FROM dists WHERE vec_id < 5) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id,
+                 CAST(list_dot_product(p.qq, b.qv) AS BIGINT) AS dot
+          FROM probes p JOIN assign b
+            ON b.cell = p.cell AND b.vec_id <> p.query_id
+        )
+        SELECT query_id, rank, neighbor_id, dot FROM (
+          SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id ASC)
+                     AS rank
+          FROM cand)
+        WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -883,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q a JOIN q b ON a.block = b.block AND a.vid < b.vid
             WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 300000
         """,
+        "ann_ivf_int": _ann_ivf_int_oracle(),
         "ann_topk_dot": """
             WITH q AS (
               SELECT vec_id,

@@ -280,3 +280,69 @@ def ivf_topk(
         .select("query_id", "rank", F.col("vid").alias("neighbor_id"),
                 F.round("cosine", 4).alias("cosine"))
     )
+
+
+def fixed_codebook(n_cells: int = 8, dim: int = 64, seed: int = 7,
+                   quant: int = 1000) -> list[list[int]]:
+    """Deterministic integer coarse-quantizer codebook (offline-trained
+    codebooks are broadcast like this in production IVF; here the cells are
+    seeded hyperplanes scaled to the same integer grid as ``quantized``)."""
+    return [[int(round(x * quant)) for x in _hyperplane(seed, dim, c, 0)]
+            for c in range(n_cells)]
+
+
+def ivf_topk_int(
+    emb: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    dim: int = 64,
+    quant: int = 1000,
+) -> DataFrame:
+    """IVF top-k over a FIXED integer codebook with quantized-int re-rank —
+    every arithmetic step is exact 64-bit integer math, so a DuckDB oracle
+    can reproduce it bit-for-bit (unlike the float-cosine k-means variant).
+
+    Same scale shape as :func:`ivf_topk`: cell assignment is a narrow
+    projection over plan-literal centroids, the probe touches
+    n_probe/n_cells of the corpus, re-rank is in-cell only.
+    """
+    cents = fixed_codebook(n_cells=n_cells, dim=dim, quant=quant)
+
+    def dist_structs(qv):
+        pairs = []
+        for ix, c in enumerate(cents):
+            carr = F.array(*[F.lit(v).cast("long") for v in c])
+            d = F.aggregate(
+                F.zip_with(qv, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            )
+            pairs.append(F.struct(d.alias("d"), F.lit(ix).alias("ix")))
+        return F.array_sort(F.array(*pairs))
+
+    base = emb.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col), quant).alias("qv")
+    ).withColumn("cell", dist_structs(F.col("qv"))[0]["ix"])
+
+    q = (
+        base.where(F.col("vid").isin(query_ids))
+        .select(F.col("vid").alias("query_id"), F.col("qv").alias("qq"),
+                F.explode(
+                    F.transform(F.slice(dist_structs(F.col("qv")), 1, n_probe),
+                                lambda s: s["ix"])).alias("cell"))
+    )
+    cands = (
+        F.broadcast(q).join(base, "cell")
+        .where(F.col("vid") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vid"])
+        .withColumn("dot", int_dot(F.col("qq"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vid"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias("neighbor_id"), "dot")
+    )

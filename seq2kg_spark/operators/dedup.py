@@ -146,9 +146,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     k: int = 3,
     hash_fn: str = "md5",
+    max_shingles: int = 2048,
 ) -> DataFrame:
     """MinHash/LSH near-dup detection: shingle → banded min-sig → bucket
-    join → Jaccard verify.  Output: (doc_a, doc_b, jaccard ≥ threshold)."""
+    join → Jaccard verify.  Output: (doc_a, doc_b, jaccard ≥ threshold).
+
+    ``max_shingles`` bounds the per-doc verification set (kept in sorted
+    order, deterministic) so a pathological multi-megabyte page cannot blow
+    up the set-join row width at 100 TB; docs under the cap — the entire
+    oracle corpus — are verified exactly.
+    """
     sh = shingle_table(df, id_col, text_col, k).cache()
     sig = minhash_signatures(sh, n_bands, hash_fn)
     cand = (
@@ -164,9 +171,9 @@ def minhash_lsh_pairs(
     # set join is |cand| rows with a vectorized JVM intersect per row, and
     # the doc→set dictionary is join-key-partitioned (broadcast when small).
     doc_sets = sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("shingles"),
-        F.count("*").alias("n"),
-    )
+        F.slice(F.array_sort(F.collect_set("shingle")), 1,
+                max_shingles).alias("shingles"),
+    ).withColumn("n", F.size("shingles"))
     a_sets = doc_sets.select(F.col("doc_id").alias("doc_a"),
                              F.col("shingles").alias("sh_a"),
                              F.col("n").alias("n_a"))

@@ -1,0 +1,46 @@
+"""MinHash verification shingle cap: bounded row width on pathological docs.
+
+The LSH verification joins per-doc shingle SETS; ``max_shingles`` bounds the
+array so a multi-megabyte page cannot blow up the join row width at scale
+(operators/dedup.py).  Docs under the cap are verified exactly.
+"""
+
+from seq2kg_spark.operators.dedup import minhash_lsh_pairs
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pathological_doc_is_capped_and_normal_docs_exact(spark):
+    # a "giant" doc: thousands of distinct shingles
+    giant = " ".join(f"w{i}" for i in range(5000))
+    giant_dup = " ".join(f"w{i}" for i in range(4990))  # near-dup of giant
+    small_a = "the quick brown fox jumps over the lazy dog again and again"
+    small_b = "the quick brown fox jumps over the lazy dog again and again!"
+    df = _mk(spark, [(1, giant), (2, giant_dup), (3, small_a), (4, small_b)])
+
+    pairs = minhash_lsh_pairs(df, threshold=0.5, max_shingles=256)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+
+    # small docs (under the cap) verify exactly and pair up
+    assert (3, 4) in got and got[(3, 4)] >= 0.5
+    # giant near-dups still pair: the capped prefix sets overlap heavily
+    assert (1, 2) in got
+    # row width is bounded: every verification array ≤ max_shingles
+    from seq2kg_spark.operators.dedup import shingle_table
+    import pyspark.sql.functions as F
+    sh = shingle_table(df, "doc_id", "text", 3)
+    capped = sh.groupBy("doc_id").agg(
+        F.slice(F.array_sort(F.collect_set("shingle")), 1, 256).alias("s"))
+    assert capped.select(F.max(F.size("s"))).first()[0] <= 256
+
+
+def test_cap_default_does_not_change_small_corpus(spark):
+    rows = [(i, f"doc {i} shares words alpha beta gamma delta {i%3}")
+            for i in range(30)]
+    df = _mk(spark, rows)
+    a = sorted(map(tuple, minhash_lsh_pairs(df, threshold=0.3).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(df, threshold=0.3,
+                                            max_shingles=10**6).collect()))
+    assert a == b
