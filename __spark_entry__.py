@@ -406,6 +406,60 @@ def q_ann_ivf_int(spark, sf_dir):
                         query_ids=list(range(5)), k=5)
 
 
+def q_kg_m4_decode(spark, sf_dir):
+    """M2–M4 semantics under a REAL driver oracle: deterministic
+    md5-derived tag streams over document tokens feed the actual
+    tags_to_triples decode (joint_model/evaluate.py:163-199 port); the
+    DuckDB twin reimplements the decode relationally.  The stateful accept
+    rule (label-continuation OR empty slot, AND contiguity) reduces to
+    "first maximal consecutive run per (doc, label)" — provable from the
+    loop invariants, exploited by both sides."""
+    import hashlib
+
+    import pandas as pd
+
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = docs.select(
+        "doc_id",
+        F.slice(F.filter(F.split("text", " "), lambda x: x != F.lit("")),
+                1, 40).alias("words"),
+    )
+
+    TR = ["head/1", "rel/1", "tail/1", "head/2", "rel/2", "tail/2"]
+    ET = ["/ORGANIZATION", "/ORGANIZATION/CORPORATION", "/PERSON"]
+
+    def decode(batches):
+        from seq2kg_spark.nlp.gru import tags_to_triples
+
+        for pdf in batches:
+            rows = {"doc_id": [], "subj": [], "pred": [], "obj": [],
+                    "subj_types": [], "obj_types": []}
+            for doc_id, words in zip(pdf["doc_id"], pdf["words"]):
+                words = list(words)
+                tr, et = [], []
+                for i in range(len(words)):
+                    h = hashlib.md5(f"{doc_id}:{i + 1}".encode()).hexdigest()
+                    tr.append([TR[j] for j in range(6) if h[j] in "012"])
+                    et.append([ET[j] for j in range(3) if h[6 + j] in "01"])
+                for t in tags_to_triples(words, tr, et):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["subj"].append(t["subj"])
+                    rows["pred"].append(t["pred"])
+                    rows["obj"].append(t["obj"])
+                    rows["subj_types"].append(" ".join(t["subj_types"]))
+                    rows["obj_types"].append(" ".join(t["obj_types"]))
+            yield pd.DataFrame(rows)
+
+    return toks.mapInPandas(
+        decode,
+        schema="doc_id long, subj string, pred string, obj string, "
+               "subj_types string, obj_types string",
+    )
+
+
 def q_lsh_bucketed_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN (float cosine re-rank — rows-only check)."""
     from seq2kg_spark.operators.ann import lsh_bucketed_topk
@@ -586,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_doc_stats": q_lang_doc_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_int": q_ann_ivf_int,
+        "kg_m4_decode": q_kg_m4_decode,
         "lsh_bucketed_topk": q_lsh_bucketed_topk,
         "media_features": q_media_features,
         "lang_id": q_lang_id,
@@ -998,6 +1053,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 300000
         """,
         "ann_ivf_int": _ann_ivf_int_oracle(),
+        "kg_m4_decode": """
+            WITH toks AS (
+              SELECT doc_id, i AS word_idx, w[i] AS word,
+                     md5(doc_id || ':' || i) AS h
+              FROM (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS w
+                    FROM documents WHERE doc_id < 50),
+                   unnest(generate_series(1, least(len(w), 40))) AS g(i)
+            ),
+            labels(ord, label, part, tidx) AS (VALUES
+              (1, 'head/1', 'head', 1), (2, 'rel/1', 'rel', 1),
+              (3, 'tail/1', 'tail', 1), (4, 'head/2', 'head', 2),
+              (5, 'rel/2', 'rel', 2), (6, 'tail/2', 'tail', 2)),
+            on_tr AS (
+              SELECT t.doc_id, t.word_idx, t.word, t.h,
+                     l.label, l.part, l.tidx
+              FROM toks t JOIN labels l
+                ON substr(t.h, l.ord, 1) IN ('0', '1', '2')
+            ),
+            runs AS (
+              SELECT *, word_idx - row_number() OVER (
+                       PARTITION BY doc_id, label ORDER BY word_idx) AS grp
+              FROM on_tr
+            ),
+            first_runs AS (
+              SELECT * FROM (
+                SELECT *, min(grp) OVER (PARTITION BY doc_id, label) AS mg
+                FROM runs) WHERE grp = mg
+            ),
+            parts AS (
+              SELECT doc_id, tidx, part,
+                     string_agg(word, ' ' ORDER BY word_idx) AS txt
+              FROM first_runs GROUP BY 1, 2, 3
+            ),
+            ets AS (
+              SELECT DISTINCT f.doc_id, f.tidx, f.part, e.et
+              FROM first_runs f
+              JOIN (VALUES (7, '/ORGANIZATION'),
+                           (8, '/ORGANIZATION/CORPORATION'),
+                           (9, '/PERSON')) e(ord, et)
+                ON substr(f.h, e.ord, 1) IN ('0', '1')
+              WHERE f.part IN ('head', 'tail')
+            ),
+            et_agg AS (
+              SELECT doc_id, tidx, part,
+                     string_agg(et, ' ' ORDER BY et) AS types
+              FROM ets GROUP BY 1, 2, 3
+            ),
+            triples AS (
+              SELECT p.doc_id, p.tidx,
+                     max(CASE WHEN p.part = 'head' THEN p.txt END) AS subj,
+                     max(CASE WHEN p.part = 'rel' THEN p.txt END) AS pred,
+                     max(CASE WHEN p.part = 'tail' THEN p.txt END) AS obj
+              FROM parts p GROUP BY 1, 2
+            )
+            SELECT t.doc_id, t.subj, t.pred, t.obj,
+                   coalesce(h.types, '') AS subj_types,
+                   coalesce(tl.types, '') AS obj_types
+            FROM triples t
+            LEFT JOIN et_agg h ON h.doc_id = t.doc_id AND h.tidx = t.tidx
+                               AND h.part = 'head'
+            LEFT JOIN et_agg tl ON tl.doc_id = t.doc_id AND tl.tidx = t.tidx
+                                AND tl.part = 'tail'
+            WHERE t.subj IS NOT NULL AND t.pred IS NOT NULL
+              AND t.obj IS NOT NULL
+        """,
         "ann_topk_dot": """
             WITH q AS (
               SELECT vec_id,
