@@ -64,6 +64,7 @@ def main() -> None:
         "ann_topk": ann_scale,
         "text_quality": E.q_text_quality,
         "fingerprint": E.q_fingerprint,
+        "ann_ivf_int": E.q_ann_ivf_int,
     }
 
     timings: dict[str, float] = {}

@@ -42,6 +42,42 @@ def ensure_corpus(n_pages: int) -> str:
     return path
 
 
+def _subtree_cpu_sec() -> float:
+    """Total CPU seconds (utime+stime) of this process and every live
+    descendant (JVM + Python workers), via /proc."""
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            procs[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        except (OSError, IndexError, ValueError):
+            continue
+    total = 0
+    for pid, (ppid, ticks) in procs.items():
+        p = pid
+        seen = set()
+        while p and p not in seen:
+            if p == me:
+                total += ticks
+                break
+            seen.add(p)
+            p = procs.get(p, (0, 0))[0]
+    return total / hz
+
+
+def _steal_sec() -> float:
+    """Hypervisor steal time (all vCPUs summed), seconds since boot."""
+    hz = os.sysconf("SC_CLK_TCK")
+    with open("/proc/stat") as f:
+        fields = f.readline().split()
+    return int(fields[8]) / hz if len(fields) > 8 else 0.0
+
+
 def run_once(cpus: int, path: str) -> dict:
     from seq2kg_spark.operators.extract import extract_triples
     from seq2kg_spark.session import get_spark
@@ -60,11 +96,16 @@ def run_once(cpus: int, path: str) -> dict:
                     num_partitions=4 * cpus).count()
     best = None
     n_triples = 0
+    cpu0, steal0 = _subtree_cpu_sec(), _steal_sec()
+    t_all0 = time.monotonic()
     for _ in range(3):
         t0 = time.monotonic()
         n_triples = extract_triples(pages, num_partitions=4 * cpus).count()
         dt = time.monotonic() - t0
         best = dt if best is None else min(best, dt)
+    wall_all = time.monotonic() - t_all0
+    cpu_used = _subtree_cpu_sec() - cpu0
+    steal = _steal_sec() - steal0
     dt = best
     spark.stop()
     return {
@@ -73,10 +114,72 @@ def run_once(cpus: int, path: str) -> dict:
         "docs": n_docs,
         "triples": n_triples,
         "docs_per_sec": round(n_docs / dt, 2),
+        # parallelism evidence independent of clock/steal confounds:
+        "effective_cores": round(cpu_used / wall_all, 2),
+        "cpu_sec_per_doc_ms": round(cpu_used / (3 * n_docs) * 1000, 3),
+        "hypervisor_steal_sec": round(steal, 1),
     }
 
 
+def _spin():
+    x = 1
+    while True:
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+
+
+def run_pinned(cpus: int, path: str, pin_cores: set[int],
+               burn_cores: set[int]) -> dict:
+    """Run at ``cpus`` with the process tree pinned to ``pin_cores`` while
+    busy-spinners occupy ``burn_cores`` — both sides of an 8→32 comparison
+    then execute at the same ALL-CORE clock, removing the turbo-droop
+    confound (the reason round 1 reported 2→8 instead of 8→32).  Burners
+    are pure-ALU spin loops: they drag frequency, not memory bandwidth."""
+    import multiprocessing as mp
+
+    burners = []
+    ctx = mp.get_context("spawn")
+    for core in sorted(burn_cores):
+        p = ctx.Process(target=_spin, daemon=True)
+        p.start()
+        os.sched_setaffinity(p.pid, {core})
+        burners.append(p)
+    old = os.sched_getaffinity(0)
+    try:
+        os.sched_setaffinity(0, pin_cores)
+        return run_once(cpus, path)
+    finally:
+        os.sched_setaffinity(0, old)
+        for p in burners:
+            p.terminate()
+        for p in burners:
+            p.join(timeout=5)
+
+
+def main_pinned_8_32(n_pages: int) -> None:
+    """Droop-controlled 8→32: local[8] pinned to cores 0-7 with 24 burner
+    cores, vs local[32] on all cores — equal clock on both sides."""
+    path = ensure_corpus(n_pages)
+    n = os.cpu_count() or 32
+    small = run_pinned(8, path, set(range(8)), set(range(8, n)))
+    big = run_pinned(32, path, set(range(n)), set())
+    efficiency = (big["docs_per_sec"] / small["docs_per_sec"]) / 4
+    print(json.dumps({
+        "job": "extract_triples(pages)",
+        "mode": "pinned-8-32 (all-core-clock-controlled)",
+        "corpus": {"path": path, "n_pages": n_pages},
+        "small": small,
+        "big": big,
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }))
+
+
 def main() -> None:
+    if "--pinned-8-32" in sys.argv:
+        sys.argv.remove("--pinned-8-32")
+        main_pinned_8_32(int(sys.argv[1]) if len(sys.argv) > 1 else 40000)
+        return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
