@@ -42,9 +42,12 @@ def ensure_corpus(n_pages: int) -> str:
     return path
 
 
+_EXCLUDE_PIDS: set[int] = set()  # burner processes, not part of the job
+
+
 def _subtree_cpu_sec() -> float:
     """Total CPU seconds (utime+stime) of this process and every live
-    descendant (JVM + Python workers), via /proc."""
+    descendant (JVM + Python workers), via /proc.  Burner PIDs excluded."""
     hz = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
     procs = {}
@@ -59,6 +62,8 @@ def _subtree_cpu_sec() -> float:
             continue
     total = 0
     for pid, (ppid, ticks) in procs.items():
+        if pid in _EXCLUDE_PIDS:
+            continue
         p = pid
         seen = set()
         while p and p not in seen:
@@ -142,6 +147,7 @@ def run_pinned(cpus: int, path: str, pin_cores: set[int],
         p = ctx.Process(target=_spin, daemon=True)
         p.start()
         os.sched_setaffinity(p.pid, {core})
+        _EXCLUDE_PIDS.add(p.pid)
         burners.append(p)
     old = os.sched_getaffinity(0)
     try:
