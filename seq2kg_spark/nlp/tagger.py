@@ -227,7 +227,22 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "furthermore", "nonetheless", "meanwhile", "today",
                  "tomorrow", "yesterday"}
 
-ADJECTIVES_EXTRA = {"ready", "new", "old", "latest", "small", "large", "big", "good",
+ADJECTIVES_EXTRA = {"ready", "formal", "final", "original", "national",
+                    "international", "digital", "global", "federal",
+                    "central", "official", "normal", "annual", "general",
+                    "special", "additional", "traditional", "optional",
+                    "personal", "professional", "regional", "royal",
+                    "rural", "actual", "casual", "dual", "equal", "ideal",
+                    "legal", "loyal", "mental", "moral", "mutual",
+                    "natural", "neutral", "oral", "potential", "principal",
+                    "seasonal", "social", "spiritual", "structural",
+                    "thermal", "universal", "usual", "verbal", "vital",
+                    "vocal", "commercial", "financial", "industrial",
+                    "initial", "crucial", "artificial", "essential",
+                    "environmental", "experimental", "fundamental",
+                    "horizontal", "vertical", "internal", "external",
+                    "eventual", "individual", "medical", "musical",
+                    "virtual", "visual", "new", "old", "latest", "small", "large", "big", "good",
                     "great", "high", "low", "long", "short", "own", "other",
                     "same", "last", "first", "next", "early", "late", "few",
                     "several", "many", "much", "top", "major", "main",
@@ -480,7 +495,11 @@ def _assign_pos(toks: list[Tok]) -> None:
             # relative pronoun heading a clause: "issues that arise",
             # "a car that seats five" — spaCy WDT/nsubj, kept out of chunks
             t.pos = "PRON"
-        elif lower == "that" and prev_pos in ("VERB", "NOUN", "PROPN") and (
+        elif lower == "that" and prev_pos in ("NOUN", "PROPN"):
+            # after a nominal, non-relative "that" is a complementizer
+            # ("the idea that people love hot sauce") — IN → predicate role
+            t.pos = "ADP"
+        elif lower == "that" and prev_pos == "VERB" and (
                 nxt_lower in DETERMINERS or nxt_lower in PRONOUNS
                 or nxt_lower in AUXILIARIES
                 or (ti + 1 < len(toks)
@@ -546,6 +565,10 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # common noun cannot be its finite verb ("fuel injector
                 # upgrade") — irregular pasts ("Clarkson said") exempt
                 t.pos = "NOUN"
+            elif (prev_pos == "ADJ" and suf in ("ed", "ing")
+                    and prev2_lower in AUXILIARIES):
+                # aux + adjective/ordinal + participle: "was first created"
+                t.pos = "VERB"
             elif (prev_pos in ("DET", "ADP", "NUM", "ADJ")
                     and prev_lower not in ("that", "which", "who")):
                 # "the work", "of cars", "in question" → nominal context
