@@ -487,9 +487,17 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif lower == "right" and nxt_lower == "now":
             t.pos = "ADV"  # "right now"
         elif lower == "to":
-            # infinitival to (PART/TO) vs prepositional to (ADP/IN)
+            # infinitival to (PART/TO) vs prepositional to (ADP/IN);
+            # unknown stems still read as infinitives when a determiner
+            # follows them ("to snag a seat")
+            nxt2 = (toks[ti + 2].text.lower() if ti + 2 < len(toks) else "")
             t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
-                               or nxt_lower in AUXILIARIES) else "ADP"
+                               or nxt_lower in AUXILIARIES
+                               or (nxt_lower.isalpha()
+                                   and nxt_lower not in DETERMINERS
+                                   and nxt_lower not in PRONOUNS
+                                   and not nxt_lower.endswith("s")
+                                   and nxt2 in DETERMINERS)) else "ADP"
         elif lower == "that" and prev_pos in ("NOUN", "PROPN") and (
                 _is_verb_form(nxt_lower) or nxt_lower in AUXILIARIES):
             # relative pronoun heading a clause: "issues that arise",
@@ -544,6 +552,9 @@ def _assign_pos(toks: list[Tok]) -> None:
                          "ADJ" if lower in ADJECTIVES_EXTRA else "VERB")
             else:
                 t.pos = "PROPN"
+        elif ("-" in lower and len(lower) > 4
+                and lower.rsplit("-", 1)[-1].endswith(("ed", "ing"))):
+            t.pos = "ADJ"  # "much-anticipated", "award-winning"
         elif lower == "used" and nxt_lower == "to":
             # the "used to <verb>" idiom is always verbal
             t.pos = "VERB"
@@ -642,6 +653,8 @@ def _assign_pos(toks: list[Tok]) -> None:
 
 _SCALE_WORDS = {"million", "billion", "trillion", "thousand", "hundred",
                 "k", "m", "bn"}
+_CURRENCIES = {"USD", "EUR", "GBP", "AUD", "CAD", "NZD", "CHF", "JPY",
+               "DOLLARS", "EUROS", "CENTS", "POUNDS"}
 
 _MONTHS = {"january", "february", "march", "april", "may", "june", "july",
            "august", "september", "october", "november", "december"}
@@ -720,12 +733,13 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
         for k in range(s, e):
             claimed[k] = True
 
-    # money: $ NUM [scale]
+    # money: $ NUM [scale] [currency]
     for m in range(n - 1):
         if toks[m].text == "$" and toks[m + 1].pos == "NUM":
             end = m + 2
             while end < n and (toks[end].pos == "NUM"
-                               or toks[end].text.lower() in _SCALE_WORDS):
+                               or toks[end].text.lower() in _SCALE_WORDS
+                               or toks[end].text.upper() in _CURRENCIES):
                 end += 1
             add(m, end)
     # percent: NUM (%|percent)
