@@ -227,7 +227,18 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "furthermore", "nonetheless", "meanwhile", "today",
                  "tomorrow", "yesterday"}
 
-ADJECTIVES_EXTRA = {"ready", "formal", "final", "original", "national",
+ADJECTIVES_EXTRA = {"ready", "formal", "biggest", "largest", "smallest",
+                    "newest", "oldest", "fastest", "slowest", "highest",
+                    "lowest", "longest", "shortest", "strongest", "best",
+                    "worst", "richest", "cheapest", "finest", "coolest",
+                    "hottest", "earliest", "cool", "hot", "cheap",
+                    "pricey", "fancy", "tasty", "quick", "slow", "fast",
+                    "strong", "weak", "heavy", "dark", "bright",
+                    "dirty", "safe", "dangerous", "rare", "common",
+                    "popular", "famous", "iconic", "huge", "tiny",
+                    "massive", "modern", "classic", "vintage", "sleek",
+                    "stylish", "powerful", "electric", "hybrid",
+                    "autonomous", "upcoming", "prominent", "final", "original", "national",
                     "international", "digital", "global", "federal",
                     "central", "official", "normal", "annual", "general",
                     "special", "additional", "traditional", "optional",
@@ -515,6 +526,8 @@ def _assign_pos(toks: list[Tok]) -> None:
             # complementizer: "is that the..." (PTB tags it IN);
             # "keep that stuff" stays a determiner
             t.pos = "ADP"
+        elif lower == "one" and prev_lower == "no":
+            t.pos = "PRON"
         elif lower == "one" and (ti + 1 < len(toks)
                                  and (toks[ti + 1].text[:1].isupper()
                                       or nxt_lower not in PRONOUNS)):
@@ -854,6 +867,11 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
     while i < n:
         t = toks[i]
         if t.pos == "PRON":
+            if (t.text.lower() == "one" and i > 0
+                    and toks[i - 1].text.lower() == "no"):
+                spans.append((i - 1, i + 1))  # "No one"
+                i += 1
+                continue
             # "whose" is a possessive determiner (WP$): it opens a chunk
             # ("whose lives") rather than standing alone, like spaCy
             if (t.text.lower() == "whose" and i + 1 < n
@@ -915,6 +933,12 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                       and toks[j + 2].pos in ("ADJ", "NOUN", "PROPN", "NUM")):
                     # separated possessive: "McDonald ' s latest endeavor"
                     j += 2
+                elif (toks[j].pos == "CCONJ" and last_nominal < i
+                      and j > i and j + 1 < n
+                      and toks[j + 1].pos in ("ADJ", "ADV")):
+                    # coordinated premodifiers before the head stay inside
+                    # the NP: "the biggest and most prominent car show"
+                    j += 1
                 elif (toks[j].pos in ("VERB", "ADV") and last_nominal < i
                       and j > i
                       and toks[j - 1].pos in ("DET", "ADV")
