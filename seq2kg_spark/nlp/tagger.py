@@ -615,9 +615,12 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "VERB"
         elif (lower.endswith("ing") and len(lower) >= 6
                 and lower not in _ING_NOUNS
-                and prev_pos in ("VERB", "PART", "PRON")):
-            # gerund continuing a verb group or after to/pronoun
-            # ("would begin electrifying", "to start building")
+                and prev_pos in ("VERB", "PART", "PRON")
+                and prev_lower not in ("its", "his", "her", "their", "my",
+                                       "your", "our", "whose")):
+            # gerund continuing a verb group or after to/subject-pronoun
+            # ("would begin electrifying", "to start building") — but a
+            # POSSESSIVE pronoun opens an NP ("its shooting brake style")
             t.pos = "VERB"
         elif (lower.endswith("ing") and len(lower) >= 6
                 and lower not in _ING_NOUNS
@@ -888,6 +891,12 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                     continue
             spans.append((i, i + 1))
             i += 1
+            continue
+        if (t.text.lower() in FOCUS_ADVERBS and i + 1 < n
+                and toks[i + 1].pos == "PRON"):
+            # "Not everyone", "only they"
+            spans.append((i, i + 2))
+            i += 2
             continue
         if t.pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM") or (
                 t.text.lower() in FOCUS_ADVERBS and i + 1 < n
