@@ -489,6 +489,15 @@ def _assign_pos(toks: list[Tok]) -> None:
                 or (lower == "own" and prev_pos == "PRON")):
             t.pos = "ADJ"  # "their own X", "Customs ' own intake",
             #                "Ferrari ' s open competition barchettas"
+        elif lower in ("its", "their", "my", "your", "our") or (
+                lower in ("his", "her") and nxt_lower
+                and nxt_lower[0].isalpha()
+                and not _is_verb_form(nxt_lower)
+                and nxt_lower not in AUXILIARIES
+                and nxt_lower not in ADPOSITIONS):
+            # possessive pronouns open NPs like determiners ("your photo",
+            # "its shooting brake style") — spaCy PRP$ / dep poss
+            t.pos = "DET"
         elif lower == "such" and nxt_lower == "as":
             t.pos = "ADV"  # "such as" — 'such' stays out of the left chunk
         elif lower == "such":
@@ -621,6 +630,14 @@ def _assign_pos(toks: list[Tok]) -> None:
             # gerund continuing a verb group or after to/subject-pronoun
             # ("would begin electrifying", "to start building") — but a
             # POSSESSIVE pronoun opens an NP ("its shooting brake style")
+            t.pos = "VERB"
+        elif (lower.endswith("ing") and len(lower) >= 6
+                and lower not in _ING_NOUNS
+                and prev_pos == "ADP"
+                and (nxt_lower in DETERMINERS
+                     or nxt_lower in ("its", "their", "my", "your", "our",
+                                      "his", "her"))):
+            # preposition + gerund + object: "for fixing this car"
             t.pos = "VERB"
         elif (lower.endswith("ing") and len(lower) >= 6
                 and lower not in _ING_NOUNS
