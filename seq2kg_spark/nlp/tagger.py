@@ -538,6 +538,8 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif lower == "one" and prev_lower == "no":
             t.pos = "PRON"
         elif lower == "one" and (ti + 1 < len(toks)
+                                 and not _is_verb_form(nxt_lower)
+                                 and nxt_lower not in AUXILIARIES
                                  and (toks[ti + 1].text[:1].isupper()
                                       or nxt_lower not in PRONOUNS)):
             # "one" as a quantifier before a nominal is NUM (spaCy CD);
@@ -579,6 +581,13 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "ADJ"  # "much-anticipated", "award-winning"
         elif lower == "used" and nxt_lower == "to":
             # the "used to <verb>" idiom is always verbal
+            t.pos = "VERB"
+        elif (lower in _IRREGULAR_PAST
+                and (prev_pos in ("PROPN", "PRON")
+                     or (prev_pos == "ADV"
+                         and prev2_pos in ("PROPN", "PRON", "NOUN")))):
+            # irregular past right after a subject is finite even when the
+            # form is also a noun ("BMW recently shot down reports")
             t.pos = "VERB"
         elif _verb_suffix(lower) is not None and not (
                 (lower in NOUN_BIAS
@@ -959,6 +968,9 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                       and toks[j + 2].pos in ("ADJ", "NOUN", "PROPN", "NUM")):
                     # separated possessive: "McDonald ' s latest endeavor"
                     j += 2
+                elif (toks[j].text == "&" and j + 1 < n
+                      and toks[j + 1].pos == "PROPN"):
+                    j += 1
                 elif (toks[j].pos == "CCONJ" and last_nominal < i
                       and j > i and j + 1 < n
                       and toks[j + 1].pos in ("ADJ", "ADV")):
