@@ -481,6 +481,8 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "ADV"  # negation incl. pre-tokenized "' t" / "n ' t"
         elif lower in ("oh", "yeah", "hey", "wow", "well") and t.sent_start:
             t.pos = "ADV"  # interjections stay out of chunks
+        elif lower in ("here", "there"):
+            t.pos = "ADV"  # locative/existential — never part of an NP
         elif lower in {"ve", "re", "ll", "m"} and prev_raw == "'":
             t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
         elif lower in ("own", "open") and (
@@ -869,6 +871,12 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                 j += 1
             while toks[j - 1].pos not in ("PROPN", "NUM"):
                 j -= 1
+            if (j + 1 < n and toks[j].text == "-"
+                    and toks[j + 1].pos == "PROPN"):
+                k = j + 1
+                while k < n and toks[k].pos == "PROPN":
+                    k += 1
+                spans.append((i, k))
             # ORG names ending in a possessive: "McDonald ' s" (NER covers
             # the clitic when the s is possessive-PART after the PROPN)
             if (j + 1 < n and toks[j].text in ("'", "\u2019")
@@ -935,8 +943,9 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
             j = i  # scan starts at the adverb; nominals still required
             last_nominal = -1
             while j < n:
-                if toks[j].pos == "DET" and last_nominal >= i:
-                    break  # base NPs have one determiner, at the start
+                if toks[j].pos == "DET" and j > i and \
+                        toks[j - 1].pos in ("ADJ", "NOUN", "PROPN", "NUM"):
+                    break  # a determiner after content starts a NEW base NP
                 elif toks[j].pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM"):
                     if toks[j].pos in ("NOUN", "PROPN"):
                         last_nominal = j
