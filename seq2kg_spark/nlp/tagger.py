@@ -1147,6 +1147,22 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
             j += 1
         return j < n and toks[j].pos == "VERB"
 
+    # exact-match definite-NP chains: "The vehicle" ↔ an earlier mention
+    # "the vehicle" (same words, different case) — neuralcoref clusters
+    # these, and A6's substitution + the battery's lowercase-determiner
+    # drop turn the node into 'vehicle' (golden evidence: doc-level
+    # 'vehicle'/'special Mustang' nodes)
+    seen_lower: dict[str, str] = {}
+    for s, e, mention in cands:
+        low = mention.lower()
+        first = seen_lower.get(low)
+        if (first is not None and first == low
+                and mention[:1].isupper()
+                and mention.split()[0].lower() in ("the", "this", "that")):
+            pairs.append([mention, first])
+        if first is None:
+            seen_lower[low] = mention
+
     for i, t in enumerate(toks):
         lower = t.text.lower()
         if lower in ("he", "she", "it", "they"):
