@@ -1187,13 +1187,33 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
     return pairs
 
 
+def _extend_over_opening_quotes(
+    toks: list[Tok], spans: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """spaCy keeps an OPENING '"' inside the following NP span ('" Top
+    Gear' is a golden node); extend spans leftward over opening quotes
+    (a quote is opening when an even number of quotes precede it)."""
+    parity = {}
+    seen = 0
+    for k, t in enumerate(toks):
+        if t.text == '"':
+            parity[k] = (seen % 2 == 0)
+            seen += 1
+    out = []
+    for s, e in spans:
+        if s > 0 and parity.get(s - 1):
+            s = s - 1
+        out.append((s, e))
+    return out
+
+
 def analyze(text: str) -> Analysis:
     """Full deterministic analysis of one (already cleaned) document."""
     toks = _tokenize(text)
     _assign_pos(toks)
     _assign_deps(toks)
-    ent_spans = _entity_spans(toks)
-    chunk_spans = _noun_chunk_spans(toks)
+    ent_spans = _extend_over_opening_quotes(toks, _entity_spans(toks))
+    chunk_spans = _extend_over_opening_quotes(toks, _noun_chunk_spans(toks))
     corefs = _coref_pairs(toks, ent_spans, chunk_spans, text)
     return Analysis(text=text, tokens=toks, ent_spans=ent_spans,
                     chunk_spans=chunk_spans, corefs=corefs)
