@@ -64,7 +64,12 @@ def main() -> None:
         "ann_topk": ann_scale,
         "text_quality": E.q_text_quality,
         "fingerprint": E.q_fingerprint,
+    }
+    # round-2+ additions, timed separately so the headline total stays
+    # comparable round-over-round
+    extra_queries = {
         "ann_ivf_int": E.q_ann_ivf_int,
+        "kg_m4_decode": E.q_kg_m4_decode,
     }
 
     timings: dict[str, float] = {}
@@ -77,6 +82,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         rows[name] = n
         total += dt
+    extra_timings: dict[str, float] = {}
+    for name, fn in extra_queries.items():
+        t0 = time.monotonic()
+        rows[name] = fn(spark, sf_dir).count()
+        extra_timings[name] = round(time.monotonic() - t0, 3)
 
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     extract_dps = round(n_docs / timings["kg_extract_triples"], 2)
@@ -94,6 +104,7 @@ def main() -> None:
                     "cpus": cpus,
                     "rows": rows,
                     "kg_extract_docs_per_sec": extract_dps,
+                    "extra_queries": extra_timings,
                 },
             }
         )
