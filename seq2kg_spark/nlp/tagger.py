@@ -448,6 +448,7 @@ def _assign_pos(toks: list[Tok]) -> None:
     prev2_lower = ""
     prev2_pos = ""
     prev_raw = ""  # previous token VERBATIM, punctuation included
+    in_pp = False  # inside a prepositional phrase (since the last ADP)
     for ti, t in enumerate(toks):
         w = t.text
         lower = w.lower()
@@ -613,6 +614,15 @@ def _assign_pos(toks: list[Tok]) -> None:
                     and prev2_lower in AUXILIARIES):
                 # aux + adjective/ordinal + participle: "was first created"
                 t.pos = "VERB"
+            elif (suf == "ing" and prev_pos == "ADP"
+                    and lower not in _ING_NOUNS
+                    and (nxt_lower in ADPOSITIONS
+                         or nxt_lower in DETERMINERS
+                         or nxt_lower in ("its", "their", "my", "your",
+                                          "our", "his", "her"))):
+                # preposition + gerund + complement: "before picking up",
+                # "after seeing the video" — spaCy VBG
+                t.pos = "VERB"
             elif (prev_pos in ("DET", "ADP", "NUM", "ADJ")
                     and prev_lower not in ("that", "which", "who")):
                 # "the work", "of cars", "in question" → nominal context
@@ -621,7 +631,8 @@ def _assign_pos(toks: list[Tok]) -> None:
                 t.pos = "NOUN"
             elif suf in ("s", "es") and (
                     prev_pos not in ("PRON", "PROPN", "NOUN")
-                    or prev_lower == "whose"):
+                    or prev_lower == "whose"
+                    or (in_pp and prev_pos == "NOUN")):
                 # 3sg-verb vs plural-noun: need a subject on the left
                 # ("whose" is a possessive determiner, not a subject)
                 t.pos = "NOUN"
@@ -686,6 +697,11 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "NOUN"
         t.tag = _fine_tag(t.pos, lower, w)
         t.lemma = lower
+        if t.pos == "ADP":
+            in_pp = True
+        elif t.pos == "VERB" or (t.pos == "PUNCT"
+                                 and w in (",", ".", ";", "!", "?", ":")):
+            in_pp = False
         if t.pos != "PUNCT":
             # punctuation is transparent for context rules
             # (", reports the Times" still sees the nominal on the left)
