@@ -1141,7 +1141,17 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
             j += 1
         expanded.append((s0, spans[j][1]))
         k = j + 1
-    cands = [(s, e, text[toks[s].idx:toks[e - 1].end]) for s, e in expanded]
+    # additional candidates: NP + of/in + NP (neuralcoref mentions cover
+    # the PP subtree: "the most state-of-the-art venue in the NFL")
+    pp_expanded = []
+    for a in range(len(expanded) - 1):
+        (s1, e1), (s2, e2) = expanded[a], expanded[a + 1]
+        if s2 == e1 + 1 and toks[e1].text.lower() in ("of", "in"):
+            pp_expanded.append((s1, e2))
+    cands = sorted(
+        [(s, e, text[toks[s].idx:toks[e - 1].end])
+         for s, e in expanded + pp_expanded],
+        key=lambda x: (x[0], x[1]))
 
     _singular_s = {"news", "series", "species", "politics", "economics",
                    "analysis", "basis", "crisis", "status", "campus",
@@ -1186,6 +1196,7 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                 continue
             want_plural = lower == "they"
             best = None
+            best_end = -1
             for s, e, mention in cands:
                 if e > i:
                     break
@@ -1197,7 +1208,11 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                     continue
                 if lower in ("he", "she") and not mention[:1].isupper():
                     continue
+                if best is not None and best_end == e and len(
+                        mention) < len(best):
+                    continue  # same end point: keep the longer mention
                 best = mention
+                best_end = e
             if best is not None:
                 pairs.append([t.text, best])
     return pairs
