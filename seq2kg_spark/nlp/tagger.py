@@ -632,7 +632,9 @@ def _assign_pos(toks: list[Tok]) -> None:
             elif suf in ("s", "es") and (
                     prev_pos not in ("PRON", "PROPN", "NOUN")
                     or prev_lower == "whose"
-                    or (in_pp and prev_pos == "NOUN")):
+                    or (in_pp and prev_pos == "NOUN"
+                        and (not nxt_lower
+                             or not nxt_lower[0].isalnum()))):
                 # 3sg-verb vs plural-noun: need a subject on the left
                 # ("whose" is a possessive determiner, not a subject)
                 t.pos = "NOUN"
