@@ -610,7 +610,8 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # common noun cannot be its finite verb ("fuel injector
                 # upgrade") — irregular pasts ("Clarkson said") exempt
                 t.pos = "NOUN"
-            elif (prev_pos == "ADJ" and suf in ("ed", "ing")
+            elif (prev_pos == "ADJ"
+                    and (suf in ("ed", "ing") or lower in _IRREGULAR_PAST)
                     and prev2_lower in AUXILIARIES):
                 # aux + adjective/ordinal + participle: "was first created"
                 t.pos = "VERB"
@@ -885,6 +886,7 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                 # ("Late Night With Conan O'Brien")
                 or (toks[j].text[:1].isupper() and j + 1 < n
                     and toks[j + 1].pos == "PROPN")
+
             ):
                 j += 1
             while toks[j - 1].pos not in ("PROPN", "NUM"):
@@ -1163,7 +1165,12 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
 
     def _plural(s: int, e: int, mention: str) -> bool:
         head = toks[e - 1].text.lower()
-        return (" and " in mention
+        words = mention.split()
+        # " and " implies coordination only when the mention is not one
+        # proper name ("Food and Drug Administration" is singular)
+        coordinated = " and " in mention and any(
+            w[:1].islower() and w != "and" for w in words[1:])
+        return (coordinated
                 or (head.endswith("s") and not head.endswith("ss")
                     and not head.endswith("is") and not head.endswith("us")
                     and not head.endswith("os")
