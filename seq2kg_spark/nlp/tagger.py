@@ -1205,6 +1205,7 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                 continue
             want_plural = lower == "they"
             best = None
+            best_proper = None
             best_end = -1
             for s, e, mention in cands:
                 if e > i:
@@ -1222,6 +1223,13 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                     continue  # same end point: keep the longer mention
                 best = mention
                 best_end = e
+                if any(toks[k].pos == "PROPN" for k in range(s, e)):
+                    best_proper = mention
+            if (best_proper is not None and best is not None
+                    and len(best.split()) == 1 and best[:1].islower()):
+                # nearest mention is a bare common noun ("act", "moment") —
+                # neuralcoref would pick the salient NAMED mention instead
+                best = best_proper
             if best is not None:
                 pairs.append([t.text, best])
     return pairs
