@@ -115,6 +115,7 @@ VERB_STEMS = {
     "undergo", "withdraw", "withstand", "overcome", "overlook",
     "handle", "crush", "lurk", "hint", "bow", "glance", "stare", "bespoke",
     "face", "shutter",
+    "going", "doing", "dying", "tying", "owing", "suing",
     "arise", "arose", "arisen", "born", "dig", "dive", "feature",
     "produce", "draw", "cook", "specialize", "ensure", "expand",
     "deliver", "tinker", "relate",
