@@ -523,7 +523,11 @@ def _assign_pos(toks: list[Tok]) -> None:
                                    and not nxt_lower.endswith("s")
                                    and nxt2 in DETERMINERS)) else "ADP"
         elif lower == "that" and prev_pos in ("NOUN", "PROPN") and (
-                _is_verb_form(nxt_lower) or nxt_lower in AUXILIARIES):
+                _is_verb_form(nxt_lower) or nxt_lower in AUXILIARIES
+                or (not prev_lower.endswith("s")
+                    and nxt_lower.endswith("s")
+                    and not nxt_lower.endswith("ss")
+                    and len(nxt_lower) > 3)):
             # relative pronoun heading a clause: "issues that arise",
             # "a car that seats five" — spaCy WDT/nsubj, kept out of chunks
             t.pos = "PRON"
@@ -691,6 +695,12 @@ def _assign_pos(toks: list[Tok]) -> None:
                 or (prev_lower == "n't"):
             # modal/infinitival context: unknown stem is a verb
             # ("will shutter stores", "to pinpoint")
+            t.pos = "VERB"
+        elif (prev_pos == "PRON"
+                and prev_lower in ("that", "which", "who")
+                and lower.endswith("s") and not lower.endswith("ss")
+                and len(lower) > 3):
+            # relative pronoun + 3sg form: "engine that powers the likes"
             t.pos = "VERB"
         elif prev_lower in ("i", "we", "they", "he", "she", "you", "it") \
                 and not lower.endswith("s"):
