@@ -625,7 +625,9 @@ def _assign_pos(toks: list[Tok]) -> None:
                     and (nxt_lower in ADPOSITIONS
                          or nxt_lower in DETERMINERS
                          or nxt_lower in ("its", "their", "my", "your",
-                                          "our", "his", "her"))):
+                                          "our", "his", "her")
+                         or (ti + 1 < len(toks)
+                             and toks[ti + 1].text[:1].isupper()))):
                 # preposition + gerund + complement: "before picking up",
                 # "after seeing the video" — spaCy VBG
                 t.pos = "VERB"
