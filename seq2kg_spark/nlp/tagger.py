@@ -731,6 +731,10 @@ _SCALE_WORDS = {"million", "billion", "trillion", "thousand", "hundred",
                 "k", "m", "bn"}
 _CURRENCIES = {"USD", "EUR", "GBP", "AUD", "CAD", "NZD", "CHF", "JPY",
                "DOLLARS", "EUROS", "CENTS", "POUNDS"}
+_ORG_HEADS = {"Administration", "Department", "Association", "Organization",
+              "Institute", "Ministry", "Commission", "Bureau", "Office",
+              "Agency", "Authority", "Board", "Council", "Committee",
+              "Foundation", "Federation", "Society", "Academy"}
 
 _MONTHS = {"january", "february", "march", "april", "may", "june", "july",
            "august", "september", "october", "november", "december"}
@@ -874,6 +878,17 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
     for m in range(n):
         if toks[m].text.lower() in _ORDINALS and not claimed[m]:
             add(m, m + 1)
+    # ORG names conjoined over 'and' when the right side heads with an
+    # institutional word: "Food and Drug Administration"
+    merged_and = []
+    span_at = {s: (s, e) for s, e in spans}
+    for s1, e1 in list(spans):
+        if (e1 < n and toks[e1].text == "and" and (e1 + 1) in span_at):
+            s2, e2 = span_at[e1 + 1]
+            if toks[e2 - 1].text in _ORG_HEADS:
+                merged_and.append((s1, e2))
+    for sp in merged_and:
+        add(*sp)
     # cardinals: bare numbers not already in a span, with spaCy-style
     # quantifier premodifiers ("more than 100", "at least one", "about 30")
     for m in range(n):
