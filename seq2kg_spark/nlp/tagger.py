@@ -1139,6 +1139,10 @@ _COREF_NOMINALS = {"company", "firm", "chain", "group", "maker", "automaker",
                    "manufacturer", "restaurant", "brand", "startup",
                    "carmaker", "business"}
 _COREF_PRONOUNS = {"he", "she", "it", "they", "him", "her", "them"}
+_COREF_HYPERNYMS = {"chain", "show", "app", "vehicle", "car", "truck",
+                    "store", "museum", "venue", "stadium", "company",
+                    "restaurant", "brand", "program", "video", "engine",
+                    "model", "event"}
 
 
 def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
@@ -1260,6 +1264,20 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                 best = best_proper
             if best is not None:
                 pairs.append([t.text, best])
+        elif (lower in _COREF_HYPERNYMS and i > 0
+              and toks[i - 1].text.lower() == "the"):
+            # definite hypernym NP → nearest prior mention with the SAME
+            # head word ("the chain" → "his pizza chain", "The show" →
+            # "the upcoming Detroit Auto Show")
+            best = None
+            for s, e, mention in cands:
+                if e > i - 1:
+                    break
+                words = mention.split()
+                if len(words) > 1 and words[-1].lower() == lower:
+                    best = mention
+            if best is not None:
+                pairs.append([f"{toks[i-1].text} {t.text}", best])
     return pairs
 
 
