@@ -1265,7 +1265,7 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
             if best is not None:
                 pairs.append([t.text, best])
         elif (lower in _COREF_HYPERNYMS and i > 0
-              and toks[i - 1].text.lower() == "the"):
+              and toks[i - 1].text.lower() in ("the", "this", "that")):
             # definite hypernym NP → nearest prior mention with the SAME
             # head word ("the chain" → "his pizza chain", "The show" →
             # "the upcoming Detroit Auto Show")
