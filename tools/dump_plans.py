@@ -47,6 +47,14 @@ def main() -> None:
         "dedup_minhash_lsh: narrow shingle stage (array_distinct before "
         "explode — no dedup shuffle), banded min-agg, bucket self-join, "
         "set-intersect verification": E.q_dedup_minhash_lsh(spark, sf_dir),
+        "ann_ivf_int: codebook as plan literals (no centroid shuffle), "
+        "cell assignment is a narrow projection, probe join broadcasts "
+        "the 5-query side — wall cost is one-time whole-stage codegen of "
+        "the 8x64-literal distance expressions, not data movement":
+            E.q_ann_ivf_int(spark, sf_dir),
+        "kg_m4_decode: one narrow MapInPandas over per-doc token arrays "
+        "(no shuffle at all — decode is per-row)":
+            E.q_kg_m4_decode(spark, sf_dir),
     }
 
     out = ["# PLANS — formatted physical plans for the headline operators",
