@@ -590,6 +590,8 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif lower == "used" and nxt_lower == "to":
             # the "used to <verb>" idiom is always verbal
             t.pos = "VERB"
+        elif lower == "according" and nxt_lower == "to":
+            t.pos = "VERB"  # fixed phrase, merges to pred "according to"
         elif (lower in _IRREGULAR_PAST
                 and (prev_pos in ("PROPN", "PRON")
                      or (prev_pos == "ADV"
@@ -649,10 +651,10 @@ def _assign_pos(toks: list[Tok]) -> None:
             else:
                 t.pos = "VERB"
         elif (lower.endswith("ing") or lower.endswith("ed")) \
-                and (prev_lower in AUXILIARIES
+                and (prev_lower in AUXILIARIES or prev_pos == "VERB"
                      or (prev_pos == "ADV" and prev2_lower in AUXILIARIES)):
-            # aux [+ adverb] + participle: unknown stems still tag as VERB
-            # ("is suing", "are understandably shocked")
+            # verb [+ adverb] + participle: unknown stems still tag as VERB
+            # ("is suing", "comes mated to", "are understandably shocked")
             t.pos = "VERB"
         elif (lower.endswith("ing") and len(lower) >= 6
                 and lower not in _ING_NOUNS
