@@ -602,6 +602,10 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif _verb_suffix(lower) is not None and not (
                 (lower in NOUN_BIAS
                  or (lower.endswith("s") and lower[:-1] in NOUN_BIAS))
+                and not (_verb_suffix(lower) == "base"
+                         and prev_pos == "NOUN"
+                         and prev_lower.endswith("s")
+                         and not prev_lower.endswith("ss"))
                 and prev_lower not in ("i", "we", "they", "he", "she",
                                        "you", "it", "will", "would", "can",
                                        "could", "may", "might", "must",
@@ -658,7 +662,8 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "VERB"
         elif (lower.endswith("ing") and len(lower) >= 6
                 and lower not in _ING_NOUNS
-                and prev_pos in ("VERB", "PART", "PRON")
+                and (prev_pos in ("VERB", "PRON")
+                     or (prev_pos == "PART" and prev_lower == "to"))
                 and prev_lower not in ("its", "his", "her", "their", "my",
                                        "your", "our", "whose")):
             # gerund continuing a verb group or after to/subject-pronoun
