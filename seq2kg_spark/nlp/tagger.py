@@ -1041,6 +1041,12 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                     # coordinated premodifiers before the head stay inside
                     # the NP: "the biggest and most prominent car show"
                     j += 1
+                elif (toks[j].text == "," and last_nominal < i
+                      and j > i and j + 1 < n
+                      and toks[j + 1].pos == "ADJ"):
+                    # comma-separated premodifiers before the head:
+                    # "the dreary , dystopian future"
+                    j += 1
                 elif (toks[j].pos in ("VERB", "ADV") and last_nominal < i
                       and j > i
                       and toks[j - 1].pos in ("DET", "ADV")
