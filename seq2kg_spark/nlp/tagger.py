@@ -633,7 +633,9 @@ def _assign_pos(toks: list[Tok]) -> None:
                          or nxt_lower in ("its", "their", "my", "your",
                                           "our", "his", "her")
                          or (ti + 1 < len(toks)
-                             and toks[ti + 1].text[:1].isupper()))):
+                             and toks[ti + 1].text[:1].isalpha()
+                             and not _is_verb_form(nxt_lower)
+                             and nxt_lower not in AUXILIARIES))):
                 # preposition + gerund + complement: "before picking up",
                 # "after seeing the video" — spaCy VBG
                 t.pos = "VERB"
@@ -1049,7 +1051,7 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                     j += 1
                 elif (toks[j].pos in ("VERB", "ADV") and last_nominal < i
                       and j > i
-                      and toks[j - 1].pos in ("DET", "ADV")
+                      and toks[j - 1].pos in ("DET", "ADV", "ADJ")
                       and (toks[j].text.lower().endswith(("ed", "ing"))
                            or toks[j].pos == "ADV")
                       and j + 1 < n
