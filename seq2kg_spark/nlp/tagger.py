@@ -646,7 +646,9 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # help make it")
                 t.pos = "NOUN"
             elif suf in ("s", "es") and (
-                    prev_pos not in ("PRON", "PROPN", "NOUN")
+                    (prev_pos not in ("PRON", "PROPN", "NOUN")
+                     and not (prev_pos == "ADV"
+                              and prev2_pos in ("PRON", "PROPN", "NOUN")))
                     or prev_lower == "whose"
                     or (in_pp and prev_pos == "NOUN"
                         and (not nxt_lower
@@ -724,6 +726,9 @@ def _assign_pos(toks: list[Tok]) -> None:
         t.lemma = lower
         if t.pos == "ADP":
             in_pp = True
+        elif lower in ("where", "wherever", "when", "whenever", "who",
+                       "that", "which", "what", "how", "why"):
+            in_pp = False  # a WH-word opens a clause — expect a verb
         elif t.pos == "VERB" or (t.pos == "PUNCT"
                                  and w in (",", ".", ";", "!", "?", ":")):
             in_pp = False
