@@ -614,6 +614,18 @@ def _assign_pos(toks: list[Tok]) -> None:
                 and prev_lower not in AUXILIARIES):
             suf = _verb_suffix(lower)
             if (suf == "base" and lower not in _IRREGULAR_PAST
+                    and prev_pos == "VERB"
+                    and prev_lower not in AUXILIARIES
+                    and prev_lower not in ("help", "helps", "helped",
+                                           "let", "lets", "make", "makes",
+                                           "made", "see", "saw", "hear",
+                                           "watch", "go", "come")
+                    and not prev_lower.endswith("'t")):
+                # a bare stem right after a content verb is its object
+                # ("doing research", "offer takeout") — serial bare
+                # infinitives only follow help/let/make/perception verbs
+                t.pos = "NOUN"
+            elif (suf == "base" and lower not in _IRREGULAR_PAST
                     and prev_pos == "NOUN"
                     and not prev_lower.endswith("s")
                     and prev_lower not in _IRREGULAR_PLURALS):
