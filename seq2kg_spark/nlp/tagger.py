@@ -517,6 +517,7 @@ def _assign_pos(toks: list[Tok]) -> None:
             nxt2 = (toks[ti + 2].text.lower() if ti + 2 < len(toks) else "")
             t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
                                or nxt_lower in AUXILIARIES
+                               or prev_lower in _INF_TAKERS
                                or (nxt_lower.isalpha()
                                    and nxt_lower not in DETERMINERS
                                    and nxt_lower not in PRONOUNS
@@ -792,6 +793,24 @@ _IRREGULAR_PAST = {
     "rung", "sang", "sung", "sank", "sunk", "shot", "shut", "slid", "swam",
     "swum", "swung", "tore", "torn", "understood", "woke", "woken", "wound",
 }
+
+# verbs/adjectives that subcategorize a following infinitive: after these,
+# "to X" is infinitival even when X is an unknown stem ("plans to gift")
+_INF_TAKERS = {"plan", "plans", "planned", "planning", "want", "wants",
+               "wanted", "try", "tries", "tried", "aim", "aims", "aimed",
+               "hope", "hopes", "hoped", "intend", "intends", "intended",
+               "decide", "decides", "decided", "expect", "expects",
+               "expected", "continue", "continues", "continued", "begin",
+               "begins", "began", "start", "starts", "started", "fail",
+               "fails", "failed", "refuse", "refuses", "refused", "agree",
+               "agrees", "agreed", "promise", "promises", "promised",
+               "offer", "offers", "offered", "need", "needs", "needed",
+               "like", "likes", "liked", "love", "loves", "loved",
+               "prefer", "prefers", "preferred", "poised", "able",
+               "ready", "set", "seem", "seems", "seemed", "appear",
+               "appears", "appeared", "manage", "managed", "manages",
+               "threaten", "threatens", "threatened", "struggle",
+               "struggles", "struggled", "opt", "opts", "opted"}
 
 # -ly words that are nouns/adjectives, not adverbs
 _LY_NOUNS = {"family", "assembly", "supply", "rally", "ally", "belly",
