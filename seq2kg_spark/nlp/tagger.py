@@ -450,6 +450,7 @@ def _assign_pos(toks: list[Tok]) -> None:
     prev2_pos = ""
     prev_raw = ""  # previous token VERBATIM, punctuation included
     in_pp = False  # inside a prepositional phrase (since the last ADP)
+    last_causative = -99  # index of the last let/help/make/see/watch/hear
     for ti, t in enumerate(toks):
         w = t.text
         lower = w.lower()
@@ -629,7 +630,8 @@ def _assign_pos(toks: list[Tok]) -> None:
             elif (suf == "base" and lower not in _IRREGULAR_PAST
                     and prev_pos == "NOUN"
                     and not prev_lower.endswith("s")
-                    and prev_lower not in _IRREGULAR_PLURALS):
+                    and prev_lower not in _IRREGULAR_PLURALS
+                    and last_causative < ti - 5):
                 # agreement: a PRESENT bare stem right after a singular
                 # common noun cannot be its finite verb ("fuel injector
                 # upgrade") — irregular pasts ("Clarkson said") exempt
@@ -737,6 +739,9 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "NOUN"
         t.tag = _fine_tag(t.pos, lower, w)
         t.lemma = lower
+        if lower in ("let", "lets", "help", "helps", "helped", "make",
+                     "makes", "made", "watch", "see", "hear"):
+            last_causative = ti
         if t.pos == "ADP":
             in_pp = True
         elif lower in ("where", "wherever", "when", "whenever", "who",
