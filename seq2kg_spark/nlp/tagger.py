@@ -115,7 +115,7 @@ VERB_STEMS = {
     "undergo", "withdraw", "withstand", "overcome", "overlook",
     "handle", "crush", "lurk", "hint", "bow", "glance", "stare", "bespoke",
     "face", "shutter",
-    "going", "doing", "dying", "tying", "owing", "suing",
+    "going", "doing", "dying", "tying", "owing", "suing", "lift", "stagger",
     "arise", "arose", "arisen", "born", "dig", "dive", "feature",
     "produce", "draw", "cook", "specialize", "ensure", "expand",
     "deliver", "tinker", "relate",
@@ -526,6 +526,8 @@ def _assign_pos(toks: list[Tok]) -> None:
                                    and nxt2 in DETERMINERS)) else "ADP"
         elif lower == "that" and prev_pos in ("NOUN", "PROPN") and (
                 _is_verb_form(nxt_lower) or nxt_lower in AUXILIARIES
+                or (nxt_lower == "'" and ti + 2 < len(toks)
+                    and toks[ti + 2].text.lower() in ("s", "ll", "d"))
                 or (not prev_lower.endswith("s")
                     and nxt_lower.endswith("s")
                     and not nxt_lower.endswith("ss")
