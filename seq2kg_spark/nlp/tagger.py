@@ -286,6 +286,19 @@ NORP_ADJECTIVES = {"american", "british", "chinese", "german", "french",
 
 # NOTE: no "ant"/"ent"/"al" — restaurant, president, government, animal...
 _ADJ_SUFFIXES = ("ous", "ful", "ive", "ical", "able", "ible", "ish", "less")
+_ENT_ANT_NOUNS = {"president", "student", "restaurant", "resident",
+                  "moment", "event", "agent", "parent", "percent",
+                  "apartment", "department", "statement", "government",
+                  "movement", "treatment", "equipment", "environment",
+                  "development", "investment", "management", "comment",
+                  "argument", "document", "element", "segment", "moment",
+                  "assistant", "accountant", "consultant", "participant",
+                  "applicant", "immigrant", "infant", "tenant", "plant",
+                  "grant", "merchant", "servant", "occupant", "instant",
+                  "ingredient", "client", "patient", "incident",
+                  "accident", "component", "opponent", "continent",
+                  "content", "intent", "extent", "talent", "rent", "cent",
+                  "accent", "tent", "scent", "dent", "vent", "current"}
 _ADJ_SUFFIX_NOUNS = {"initiative", "executive", "representative",
                      "alternative", "incentive", "objective", "perspective",
                      "motive", "narrative", "relative", "collective",
@@ -717,7 +730,10 @@ def _assign_pos(toks: list[Tok]) -> None:
                                         and lower not in _LY_NOUNS):
             t.pos = "ADV"
         elif lower in ADJECTIVES_EXTRA or (
-                lower.endswith(_ADJ_SUFFIXES) and lower not in _ADJ_SUFFIX_NOUNS):
+                lower.endswith(_ADJ_SUFFIXES) and lower not in _ADJ_SUFFIX_NOUNS) or (
+                lower.endswith(("ent", "ant")) and len(lower) > 6
+                and not lower.endswith("ment")
+                and lower not in _ENT_ANT_NOUNS):
             t.pos = "ADJ"
         elif prev_lower in ("will", "would", "can", "could", "may", "might",
                             "must", "should", "shall") \
