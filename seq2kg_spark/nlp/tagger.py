@@ -1108,6 +1108,12 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                     # comma-separated premodifiers before the head:
                     # "the dreary , dystopian future"
                     j += 1
+                elif (toks[j].text == '"' and last_nominal >= i
+                      and j + 1 < n
+                      and toks[j + 1].pos in ("NOUN", "PROPN")):
+                    # closing quote inside the NP: 'the " helmet visor "
+                    # effect'
+                    j += 1
                 elif (toks[j].pos in ("VERB", "ADV") and last_nominal < i
                       and j > i
                       and toks[j - 1].pos in ("DET", "ADV", "ADJ")
