@@ -402,8 +402,17 @@ def _tokenize(text: str) -> list[Tok]:
     return toks
 
 
+def _strip_prefix(lower: str) -> str | None:
+    for pre in ("re", "dis", "un", "over", "under", "out", "mis", "pre",
+                "co-", "re-"):
+        if lower.startswith(pre) and len(lower) - len(pre) >= 4:
+            return lower[len(pre):]
+    return None
+
+
 def _verb_suffix(lower: str) -> str | None:
-    """'base' | 'ing' | 'ed' | 'es' | 's' | None."""
+    """'base' | 'ing' | 'ed' | 'es' | 's' | None.  Derivational prefixes
+    (re-, dis-, over-, ...) are transparent: 'discontinue' → 'continue'."""
     if lower in VERB_STEMS or lower in AUXILIARIES:
         return "base"
     for suf, strip in (("ing", 3), ("ed", 2), ("es", 2), ("s", 1)):
@@ -411,6 +420,9 @@ def _verb_suffix(lower: str) -> str | None:
             stem = lower[:-strip]
             if stem in VERB_STEMS or stem + "e" in VERB_STEMS:
                 return suf
+    bare = _strip_prefix(lower)
+    if bare is not None and bare not in AUXILIARIES:
+        return _verb_suffix(bare)
     return None
 
 
