@@ -686,7 +686,8 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # "after seeing the video" — spaCy VBG
                 t.pos = "VERB"
             elif (prev_pos in ("DET", "ADP", "NUM", "ADJ")
-                    and prev_lower not in ("that", "which", "who")):
+                    and (prev_lower not in ("that", "which", "who")
+                         or prev_pos == "DET")):
                 # "the work", "of cars", "in question" → nominal context
                 # (but a relative pronoun introduces a verb: "seats that
                 # help make it")
