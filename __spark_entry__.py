@@ -1011,7 +1011,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
-                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard,
+                   (sa.n > 2048 OR sb.n > 2048) AS approx
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b

@@ -402,12 +402,16 @@ def _tokenize(text: str) -> list[Tok]:
     return toks
 
 
-def _strip_prefix(lower: str) -> str | None:
-    for pre in ("re", "dis", "un", "over", "under", "out", "mis", "pre",
-                "co-", "re-"):
-        if lower.startswith(pre) and len(lower) - len(pre) >= 4:
-            return lower[len(pre):]
-    return None
+def _strip_prefix(lower: str) -> tuple[str, ...]:
+    """All derivational-prefix strips, longest prefix first — so 'under'
+    isn't shadowed by 'un' ('understand' tries 'stand' as well as
+    'derstand') and 're-' isn't shadowed by 're'."""
+    return tuple(
+        lower[len(pre):]
+        for pre in ("under", "over", "dis", "out", "mis", "pre", "co-",
+                    "re-", "un", "re")
+        if lower.startswith(pre) and len(lower) - len(pre) >= 4
+    )
 
 
 def _verb_suffix(lower: str) -> str | None:
@@ -420,9 +424,12 @@ def _verb_suffix(lower: str) -> str | None:
             stem = lower[:-strip]
             if stem in VERB_STEMS or stem + "e" in VERB_STEMS:
                 return suf
-    bare = _strip_prefix(lower)
-    if bare is not None and bare not in AUXILIARIES:
-        return _verb_suffix(bare)
+    for bare in _strip_prefix(lower):
+        if bare in AUXILIARIES:
+            continue
+        suf = _verb_suffix(bare)
+        if suf is not None:
+            return suf
     return None
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import string
+import warnings
 from functools import lru_cache
 
 from seq2kg_spark.nlp.tagger import (
@@ -49,10 +50,22 @@ _REFERENCE_VOCAB_PATHS = (
 
 def resolve_vocab_path() -> str | None:
     """SEQ2KG_BERT_VOCAB env var, else the reference checkout's public
-    bert-base-cased vocab when present, else None (stand-in vocab)."""
+    bert-base-cased vocab when present, else None (stand-in vocab).
+
+    An explicitly-configured path that doesn't exist is an ERROR, not a
+    silent fallback: on a cluster, an executor missing the shipped file
+    would otherwise tokenize with a different vocab than the driver and
+    produce divergent wordpiece streams within one job.
+    """
     env = os.environ.get("SEQ2KG_BERT_VOCAB")
     if env:
-        return env if os.path.exists(env) else None
+        if not os.path.exists(env):
+            raise FileNotFoundError(
+                f"SEQ2KG_BERT_VOCAB points at a missing file: {env!r} "
+                "(ship it with spark-submit --files and set the var to the "
+                "executor-local path)"
+            )
+        return env
     for p in _REFERENCE_VOCAB_PATHS:
         if os.path.exists(p):
             return p
@@ -75,8 +88,15 @@ def load_vocab_file(path: str) -> "tuple[tuple[str, int], ...]":
 @lru_cache(maxsize=1)
 def _resolved_default_vocab() -> "tuple[tuple[str, int], ...]":
     path = resolve_vocab_path()
+    # One-time (per process) note of which vocab source won, so driver vs
+    # executor divergence is detectable in the logs.
     if path is not None:
+        warnings.warn(f"seq2kg wordpiece vocab: {path}", stacklevel=2)
         return load_vocab_file(path)
+    warnings.warn(
+        "seq2kg wordpiece vocab: built-in stand-in (no SEQ2KG_BERT_VOCAB, "
+        "no reference checkout)", stacklevel=2,
+    )
     return tuple(default_vocab().items())
 
 

@@ -217,6 +217,8 @@ def label_candidates(
             def emb_rows(col) -> np.ndarray:
                 out = np.zeros((len(col), dim), dtype=np.float32)
                 for i, phrase in enumerate(col):
+                    if not isinstance(phrase, str) or phrase == "":
+                        continue  # null/NaN/empty ⇒ zero vector ⇒ distance 1.0
                     key = str(phrase)
                     v = memo.get(key)
                     if v is None:
@@ -233,10 +235,14 @@ def label_candidates(
                     out["label"] = pd.Series([], dtype="int32")
                     yield out
                     continue
-                ok = pdf["gs"].notna().to_numpy()
+                # A row can only label positive when EVERY golden part is
+                # present — masking up front (not just gs) keeps nulls on
+                # the deterministic zero-vector/distance-1.0 path.
+                ok = (pdf["gs"].notna() & pdf["gr"].notna()
+                      & pdf["go"].notna()).to_numpy()
                 for a, b in (("s", "gs"), ("r", "gr"), ("o", "go")):
-                    A = emb_rows(pdf[a].fillna("").tolist())
-                    B = emb_rows(pdf[b].fillna("").tolist())
+                    A = emb_rows(pdf[a].tolist())
+                    B = emb_rows(pdf[b].tolist())
                     na = np.linalg.norm(A, axis=1)
                     nb = np.linalg.norm(B, axis=1)
                     dot = (A * B).sum(axis=1)

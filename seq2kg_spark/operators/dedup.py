@@ -154,7 +154,12 @@ def minhash_lsh_pairs(
     ``max_shingles`` bounds the per-doc verification set (kept in sorted
     order, deterministic) so a pathological multi-megabyte page cannot blow
     up the set-join row width at 100 TB; docs under the cap — the entire
-    oracle corpus — are verified exactly.
+    oracle corpus — are verified exactly (``approx = false``).  When either
+    side was truncated the reported jaccard is the prefix-set (bottom-k
+    style) ESTIMATE |A_k∩B_k|/|A_k∪B_k| — both sides keep the same sorted
+    prefix, so heavy overlap still surfaces — and the pair is flagged
+    ``approx = true`` (two over-cap docs differing only past the cap can
+    estimate 1.0; the flag makes that visible instead of silently exact).
     """
     sh = shingle_table(df, id_col, text_col, k).cache()
     sig = minhash_signatures(sh, n_bands, hash_fn)
@@ -173,13 +178,16 @@ def minhash_lsh_pairs(
     doc_sets = sh.groupBy("doc_id").agg(
         F.slice(F.array_sort(F.collect_set("shingle")), 1,
                 max_shingles).alias("shingles"),
+        F.count_distinct("shingle").alias("n_true"),
     ).withColumn("n", F.size("shingles"))
     a_sets = doc_sets.select(F.col("doc_id").alias("doc_a"),
                              F.col("shingles").alias("sh_a"),
-                             F.col("n").alias("n_a"))
+                             F.col("n").alias("n_a"),
+                             F.col("n_true").alias("nt_a"))
     b_sets = doc_sets.select(F.col("doc_id").alias("doc_b"),
                              F.col("shingles").alias("sh_b"),
-                             F.col("n").alias("n_b"))
+                             F.col("n").alias("n_b"),
+                             F.col("n_true").alias("nt_b"))
     return (
         cand.join(a_sets, "doc_a")
         .join(b_sets, "doc_b")
@@ -189,8 +197,13 @@ def minhash_lsh_pairs(
             F.round(F.col("n_inter")
                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
         )
+        .withColumn(
+            "approx",
+            (F.col("nt_a") > F.lit(max_shingles))
+            | (F.col("nt_b") > F.lit(max_shingles)),
+        )
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard", "approx")
     )
 
 

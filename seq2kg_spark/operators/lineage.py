@@ -63,7 +63,19 @@ def read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame:
         it = fs.listFiles(hpath, True)  # recursive
         while it.hasNext():
             if it.next().getPath().getName().endswith(".parquet"):
-                return spark.read.parquet(lineage_path)
+                # mergeSchema: a lineage dir written by an older build may
+                # carry the pre-rename ``wall_ms`` column — without merging,
+                # whichever footer wins would null out the other's metric.
+                lin = (spark.read.option("mergeSchema", "true")
+                       .parquet(lineage_path))
+                if "wall_ms" in lin.columns:
+                    migrated = (
+                        F.coalesce(F.col("job_wall_ms"), F.col("wall_ms"))
+                        if "job_wall_ms" in lin.columns else F.col("wall_ms")
+                    )
+                    lin = (lin.withColumn("job_wall_ms", migrated)
+                           .drop("wall_ms"))
+                return lin
     return spark.createDataFrame([], LINEAGE_SCHEMA)
 
 
