@@ -18,8 +18,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def quantized(vec_col, quant: int = 1000):
@@ -160,6 +163,37 @@ def lsh_bucketed_topk(
     )
 
 
+def nearest_cells_udf(spark, centroids, n_cells_out: int = 1,
+                      integer: bool = False):
+    """Vectorized cell assignment: pandas UDF returning the ``n_cells_out``
+    nearest centroid ids (squared L2, ties broken by lower cell id).
+
+    The codebook ships ONCE per executor as a Spark broadcast numpy matrix
+    and the per-batch work is one Arrow-batched matmul — this replaces the
+    former plan-literal CASE chain, whose O(k·dim) literals blew up plan
+    size and whole-stage codegen beyond k≈8 (a real IVF coarse quantizer is
+    k=2^10..2^16).  ``integer=True`` keeps every step in exact int64
+    (argsort over exact distances ⇒ bit-reproducible across engines).
+    """
+    dtype = np.int64 if integer else np.float64
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=dtype))
+    n = n_cells_out
+
+    @pandas_udf("array<int>")
+    def nearest(v: pd.Series) -> pd.Series:
+        C = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(x, dtype=C.dtype) for x in v])
+        # ||v-c||² = ||v||² − 2v·c + ||c||²; exact in int64 when quantized
+        d = ((V * V).sum(axis=1)[:, None] - 2 * (V @ C.T)
+             + (C * C).sum(axis=1)[None, :])
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.tolist() for row in idx.astype(np.int32)])
+
+    return nearest
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -171,55 +205,40 @@ def kmeans_centroids(
     """Deterministic Lloyd's iterations, DataFrame-native.
 
     Seeds = the k vectors with the smallest ids (deterministic, no RNG).
-    Each iteration: assign via argmin over broadcast centroid literals
-    (pure Column expressions), then average per cluster — one shuffle per
-    iteration.  Returns plain Python lists (the coarse quantizer is tiny
-    and rides in closures).
+    Each iteration: assign via the broadcast-numpy argmin UDF (narrow — no
+    shuffle of the corpus), then average per cluster via
+    posexplode + groupBy(cell, pos) — the partial (map-side) aggregation
+    collapses each partition to k·dim cells before the exchange, so the
+    shuffle is O(k·dim·partitions) regardless of corpus size (the former
+    per-dimension ``F.sum(x_i)`` fan-out meant dim agg columns — 768-dim
+    would have been 768-wide agg state per row).  Returns plain Python
+    lists (the coarse quantizer is tiny).
     """
+    spark = emb.sparkSession
     seeds = (
         emb.orderBy(F.col(id_col).asc()).limit(k)
         .select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(n_iter):
+        assign = nearest_cells_udf(spark, centroids)
         assigned = emb.select(
             F.col(vec_col).alias("v"),
-            _nearest_centroid_expr(F.col(vec_col), centroids).alias("c"),
+            assign(F.col(vec_col))[0].alias("c"),
         )
-        sums = assigned.select(
-            "c", *[F.col("v")[i].cast("double").alias(f"x{i}")
-                   for i in range(dim)]
-        ).groupBy("c").agg(
-            F.count("*").alias("n"),
-            *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)],
-        ).collect()
-        new = list(centroids)
-        for r in sums:
+        stats = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in stats:
             if r["n"] > 0:
-                new[r["c"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+                new[r["c"]][r["pos"]] = r["s"] / r["n"]
         centroids = new
     return centroids
-
-
-def _nearest_centroid_expr(vec, centroids: list[list[float]]):
-    """argmin_c ||v - c||² as a Column expression (broadcast-by-literal)."""
-    best_ix = F.lit(0)
-    best_d = None
-    for ix, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, carr,
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_d = d
-            best_ix = F.lit(ix)
-        else:
-            best_ix = F.when(d < best_d, F.lit(ix)).otherwise(best_ix)
-            best_d = F.least(d, best_d)
-    return best_ix
 
 
 def ivf_topk(
@@ -235,41 +254,31 @@ def ivf_topk(
     """IVF approximate top-k: coarse k-means cells, probe the n_probe
     nearest cells per query, exact cosine re-rank inside probed cells.
 
-    At 10^9 vectors the cell assignment is a narrow projection and the
-    search touches n_probe/n_cells of the corpus; centroids broadcast as
-    plan literals.
+    At 10^9 vectors the cell assignment is a narrow Arrow-batched matmul
+    (no shuffle) against a once-per-executor broadcast codebook, and the
+    search touches n_probe/n_cells of the corpus.
     """
+    spark = emb.sparkSession
     cents = kmeans_centroids(emb, k=n_cells, id_col=id_col, vec_col=vec_col,
                              dim=dim)
-    base = emb.select(
+    # ONE UDF pass computes the n_probe nearest cells; the corpus keeps
+    # cell[0] (its home cell), queries explode all probes.  A neighbor
+    # lives in exactly one cell, so a (query, neighbor) pair can match at
+    # most once — no dedup shuffle needed.
+    nearest = nearest_cells_udf(spark, cents, n_cells_out=n_probe)
+    tagged = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-        _nearest_centroid_expr(F.col(vec_col), cents).alias("cell"),
+        nearest(F.col(vec_col)).alias("cells"),
     )
-
-    # per-query probe cells: distances to all centroids, take n_probe best
-    def probe_cells_expr(vec):
-        pairs = []
-        for ix, c in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(vec, carr,
-                           lambda a, b: (a.cast("double") - b)
-                           * (a.cast("double") - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            pairs.append(F.struct(d.alias("d"), F.lit(ix).alias("ix")))
-        arr = F.array_sort(F.array(*pairs))
-        return F.transform(F.slice(arr, 1, n_probe), lambda s: s["ix"])
-
+    base = tagged.select("vid", "v", F.col("cells")[0].alias("cell"))
     q = (
-        base.where(F.col("vid").isin(query_ids))
+        tagged.where(F.col("vid").isin(query_ids))
         .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"),
-                F.explode(probe_cells_expr(F.col("v"))).alias("cell"))
+                F.explode("cells").alias("cell"))
     )
     cands = (
         F.broadcast(q).join(base, "cell")
         .where(F.col("vid") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vid"])
         .withColumn("cosine", float_cosine(F.col("qv"), F.col("v")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
@@ -307,37 +316,30 @@ def ivf_topk_int(
     can reproduce it bit-for-bit (unlike the float-cosine k-means variant).
 
     Same scale shape as :func:`ivf_topk`: cell assignment is a narrow
-    projection over plan-literal centroids, the probe touches
-    n_probe/n_cells of the corpus, re-rank is in-cell only.
+    Arrow-batched int64 matmul against the once-per-executor broadcast
+    codebook (NOT plan literals — a k=2^16 codebook would otherwise compile
+    to a megabyte-scale CASE chain), the probe touches n_probe/n_cells of
+    the corpus, re-rank is in-cell only.
     """
+    spark = emb.sparkSession
     cents = fixed_codebook(n_cells=n_cells, dim=dim, quant=quant)
-
-    def dist_structs(qv):
-        pairs = []
-        for ix, c in enumerate(cents):
-            carr = F.array(*[F.lit(v).cast("long") for v in c])
-            d = F.aggregate(
-                F.zip_with(qv, carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x,
-            )
-            pairs.append(F.struct(d.alias("d"), F.lit(ix).alias("ix")))
-        return F.array_sort(F.array(*pairs))
-
-    base = emb.select(
+    # ONE UDF pass (n_probe nearest cells per row): the corpus keeps its
+    # home cell cells[0], queries explode all probes.  A neighbor is in
+    # exactly one cell ⇒ pairs are already unique — no dedup shuffle.
+    nearest = nearest_cells_udf(spark, cents, n_cells_out=n_probe,
+                                integer=True)
+    tagged = emb.select(
         F.col(id_col).alias("vid"), quantized(F.col(vec_col), quant).alias("qv")
-    ).withColumn("cell", dist_structs(F.col("qv"))[0]["ix"])
-
+    ).withColumn("cells", nearest(F.col("qv")))
+    base = tagged.select("vid", "qv", F.col("cells")[0].alias("cell"))
     q = (
-        base.where(F.col("vid").isin(query_ids))
+        tagged.where(F.col("vid").isin(query_ids))
         .select(F.col("vid").alias("query_id"), F.col("qv").alias("qq"),
-                F.explode(
-                    F.transform(F.slice(dist_structs(F.col("qv")), 1, n_probe),
-                                lambda s: s["ix"])).alias("cell"))
+                F.explode("cells").alias("cell"))
     )
     cands = (
         F.broadcast(q).join(base, "cell")
         .where(F.col("vid") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vid"])
         .withColumn("dot", int_dot(F.col("qq"), F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vid"))

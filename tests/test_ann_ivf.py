@@ -1,0 +1,57 @@
+"""IVF coarse quantizer: broadcast-numpy assignment (no plan literals).
+
+The cell-assignment path must hold at real codebook sizes (k=2^10..2^16) —
+the former plan-literal CASE chain exploded plan size/codegen beyond k≈8.
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from seq2kg_spark.operators.ann import (
+    fixed_codebook,
+    ivf_topk_int,
+    kmeans_centroids,
+    nearest_cells_udf,
+    quantized,
+)
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_assignment_matches_numpy_argmin(spark):
+    emb = _emb(spark).limit(50)
+    cents = fixed_codebook(n_cells=8, dim=64)
+    assign = nearest_cells_udf(spark, cents, integer=True)
+    got = (
+        emb.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+        .withColumn("cell", assign(F.col("qv"))[0])
+        .collect()
+    )
+    C = np.asarray(cents, dtype=np.int64)
+    for r in got:
+        v = np.asarray(r.qv, dtype=np.int64)
+        d = ((v[None, :] - C) ** 2).sum(axis=1)
+        assert r.cell == int(np.argmin(d)), r.vec_id
+
+
+def test_ivf_int_k1024_runs_without_plan_blowup(spark):
+    emb = _emb(spark)
+    out = ivf_topk_int(emb, query_ids=[0, 1, 2], k=5,
+                       n_cells=1024, n_probe=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the codebook must NOT ride in the plan: no kilo-branch CASE chain
+    assert plan.count("CASE WHEN") < 50
+    rows = out.collect()
+    assert {r.query_id for r in rows} <= {0, 1, 2}
+    assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_kmeans_centroids_posexplode_agg(spark):
+    emb = _emb(spark).limit(200)
+    cents = kmeans_centroids(emb, k=4, n_iter=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    # centroids moved off the seeds and are finite
+    flat = np.asarray(cents, dtype=np.float64)
+    assert np.isfinite(flat).all()
