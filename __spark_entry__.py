@@ -468,6 +468,15 @@ def q_lsh_bucketed_topk(spark, sf_dir):
                              query_ids=list(range(10)), k=5)
 
 
+def q_lsh_topk_int(spark, sf_dir):
+    """Sign-LSH ANN over integer hyperplanes + quantized-int re-rank —
+    every step 64-bit exact, so the DuckDB twin matches bit-for-bit."""
+    from seq2kg_spark.operators.ann import lsh_topk_int
+
+    return lsh_topk_int(_t(spark, sf_dir, "embeddings"),
+                        query_ids=list(range(5)), k=5)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal decode→feature path over synthetic x-fake payloads
     derived deterministically from doc_ids (rows-only check; feature
@@ -614,6 +623,51 @@ def q_clean_text(spark, sf_dir):
     return docs.select("doc_id", clean_text_expr(F.col("text")).alias("clean"))
 
 
+_ASCII_DOC_RE = "^[\\x20-\\x7e\\n\\t]*$"  # printable ASCII + \n\t (no \x0b/\f/\r:
+# the only chars where Java (?U)\s and RE2 \s could disagree with Python)
+
+
+def q_clean_text_ascii(spark, sf_dir):
+    """T1 Catalyst chain on the ASCII-only subset — on this subset every
+    Unicode-dialect step (curly quotes, em-dash, mojibake ellipsis) is a
+    no-op, so a DuckDB RE2 regexp_replace chain reproduces the output
+    byte-for-byte (hash-exact twin of the rows-only ``clean_text``)."""
+    from seq2kg_spark.functions.text_clean import clean_text_expr
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").rlike(_ASCII_DOC_RE))
+    return docs.select("doc_id", clean_text_expr(F.col("text")).alias("clean"))
+
+
+def _clean_text_ascii_oracle() -> str:
+    """DuckDB twin of q_clean_text_ascii, generated from the SAME step
+    table as the Spark chain (functions/text_clean.py): Java patterns with
+    the (?U) flag dropped (ASCII input ⇒ identical char classes), $n
+    replacements rewritten to RE2 \\n, and the 'g' flag added (DuckDB
+    replaces only the first match by default)."""
+    from seq2kg_spark.functions.text_clean import (_JAVA_STRIP_CLASS,
+                                                   _RESPACE_STEPS)
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    steps: list[tuple[str, str]] = [
+        (f"^{_JAVA_STRIP_CLASS}+|{_JAVA_STRIP_CLASS}+$", ""),
+    ]
+    for _py, java_pat, _pyrep, java_rep in _RESPACE_STEPS:
+        steps.append((java_pat.replace("(?U)", ""),
+                      java_rep.replace("$", "\\")))
+    steps += [("\\|", ", "), ("\\t", " "), ("\\s+", " "),
+              ("^\\s+|\\s+$", "")]
+    expr = "text"
+    for pat, rep in steps:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    return f"""
+        SELECT doc_id, {expr} AS clean
+        FROM documents
+        WHERE regexp_matches(text, '{_ASCII_DOC_RE}')
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -642,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_int": q_ann_ivf_int,
         "kg_m4_decode": q_kg_m4_decode,
         "lsh_bucketed_topk": q_lsh_bucketed_topk,
+        "lsh_topk_int": q_lsh_topk_int,
         "media_features": q_media_features,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -653,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neural_triples": q_kg_neural_triples,
         "kg_candidate_filtering": q_kg_candidate_filtering,
         "clean_text": q_clean_text,
+        "clean_text_ascii": q_clean_text_ascii,
     }
 
 
@@ -703,6 +759,54 @@ shingles AS (
   FROM shpos
 )
 """
+
+
+def _lsh_topk_int_oracle(n_bits: int = 8, n_tables: int = 2,
+                         k: int = 5) -> str:
+    """DuckDB twin of lsh_topk_int: the deterministic integer hyperplanes
+    are inlined as literals; bucket codes and the re-rank dot are all
+    BIGINT-exact, ties by neighbor id — bit-identical to the Spark side."""
+    from seq2kg_spark.operators.ann import int_hyperplanes
+
+    planes = int_hyperplanes(n_tables, n_bits, 64)
+
+    def code_expr(tbl: int) -> str:
+        terms = []
+        for b in range(n_bits):
+            lit = ", ".join(str(v) for v in planes[tbl][b])
+            terms.append(
+                f"(CASE WHEN CAST(list_dot_product(qv, [{lit}]::BIGINT[]) "
+                f"AS BIGINT) >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    arms = "\n UNION ALL ".join(
+        f"SELECT vec_id, qv, {t} AS t, {code_expr(t)} AS code FROM q"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        coded AS ({arms}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+          FROM coded a JOIN coded b
+            ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id
+          WHERE a.vec_id < 5
+        )
+        SELECT query_id, rank, neighbor_id, dot FROM (
+          SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id ASC)
+                     AS rank
+          FROM cand)
+        WHERE rank <= {k}
+    """
 
 
 def _ann_ivf_int_oracle(n_probe: int = 2, k: int = 5) -> str:
@@ -1054,6 +1158,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 300000
         """,
         "ann_ivf_int": _ann_ivf_int_oracle(),
+        "lsh_topk_int": _lsh_topk_int_oracle(),
+        "clean_text_ascii": _clean_text_ascii_oracle(),
         "kg_m4_decode": """
             WITH toks AS (
               SELECT doc_id, i AS word_idx, w[i] AS word,

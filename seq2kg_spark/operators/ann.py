@@ -194,6 +194,86 @@ def nearest_cells_udf(spark, centroids, n_cells_out: int = 1,
     return nearest
 
 
+def int_hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = 42,
+                    quant: int = 1000) -> list[list[list[int]]]:
+    """[table][bit] → integer hyperplane (the float planes scaled to the
+    same fixed-point grid as :func:`quantized`), so the sign decision
+    ``dot >= 0`` is exact 64-bit integer math — reproducible bit-for-bit
+    across engines."""
+    return [
+        [[int(round(x * quant)) for x in _hyperplane(seed, dim, t, b)]
+         for b in range(n_bits)]
+        for t in range(n_tables)
+    ]
+
+
+def lsh_topk_int(
+    emb: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    quant: int = 1000,
+) -> DataFrame:
+    """Sign-LSH top-k with EXACT integer arithmetic end-to-end: integer
+    hyperplanes decide buckets (sign of an int64 dot), quantized-int dot
+    re-ranks in-bucket, ties by neighbor id — so a DuckDB oracle can
+    reproduce the result bit-for-bit (the float-cosine variant
+    :func:`lsh_bucketed_topk` cannot be oracled).
+
+    Same scale shape: bucket codes come from ONE Arrow-batched matmul
+    against a once-per-executor broadcast plane matrix (n_tables·n_bits
+    planes — no plan literals), candidates meet in a bucket equi-join,
+    never a cross product.
+    """
+    spark = emb.sparkSession
+    planes = int_hyperplanes(n_tables, n_bits, dim, seed, quant)
+    # (n_tables*n_bits) × dim matrix; row t*n_bits+b = plane (t, b)
+    P = np.asarray([p for tbl in planes for p in tbl], dtype=np.int64)
+    bc = spark.sparkContext.broadcast(P)
+
+    @pandas_udf("array<long>")
+    def codes(v: pd.Series) -> pd.Series:
+        M = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+        signs = (V @ M.T) >= 0                      # B × (tables*bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        by_table = signs.reshape(len(V), n_tables, n_bits)
+        out = (by_table * weights[None, None, :]).sum(axis=2)
+        return pd.Series([row.tolist() for row in out])
+
+    tagged = emb.select(
+        F.col(id_col).alias("vid"),
+        quantized(F.col(vec_col), quant).alias("qv"),
+    ).withColumn("codes", codes(F.col("qv")))
+    base = tagged.select(
+        "vid", "qv", F.posexplode("codes").alias("t", "code"))
+    q = (
+        tagged.where(F.col("vid").isin(query_ids))
+        .select(F.col("vid").alias("query_id"), F.col("qv").alias("qq"),
+                F.posexplode("codes").alias("t", "code"))
+    )
+    cands = (
+        F.broadcast(q).join(base, ["t", "code"])
+        .where(F.col("vid") != F.col("query_id"))
+        # multi-table probing CAN duplicate a pair — dedup before re-rank
+        .dropDuplicates(["query_id", "vid"])
+        .withColumn("dot", int_dot(F.col("qq"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vid"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias("neighbor_id"), "dot")
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
