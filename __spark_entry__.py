@@ -484,6 +484,7 @@ def q_media_features(spark, sf_dir):
     import pandas as pd
 
     from seq2kg_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                   encode_fake_audio,
                                                    encode_fake_image,
                                                    media_features)
     from seq2kg_spark.packaging import ship_package
@@ -496,6 +497,16 @@ def q_media_features(spark, sf_dir):
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
+                if d % 10 == 3:  # kind skew: ~10% audio, much larger payloads
+                    n = 4096 + (d * 13) % 4096
+                    rows.append({
+                        "url": f"media://{d}", "kind": "audio",
+                        "payload": encode_fake_audio(16000, n, seed=d),
+                        "meta": {"width": None, "height": None,
+                                 "sample_rate": 16000, "n_frames": n,
+                                 "format": "x-fake-audio"},
+                    })
+                    continue
                 w, h = 8 + d % 24, 8 + (d * 7) % 24
                 rows.append({
                     "url": f"media://{d}", "kind": "image",
@@ -623,6 +634,46 @@ def q_clean_text(spark, sf_dir):
     return docs.select("doc_id", clean_text_expr(F.col("text")).alias("clean"))
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Structured Streaming gap-sessionization over the events table via
+    availableNow + applyInPandasWithState, then per-user closed-session
+    rollup.  Inherently stateful-streaming — no SQL oracle (rows-only):
+    session boundaries depend on cross-row state and the micro-batch
+    lifecycle, which DuckDB cannot express."""
+    import tempfile
+
+    from seq2kg_spark.packaging import ship_package
+    from seq2kg_spark.streaming.ingest import sessionize_events_stateful
+
+    ship_package(spark)
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    # the table is a single parquet FILE; file streams need a directory, so
+    # stream the parent dir filtered down to this one file
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+              .select("user_id", "ts", "value"))  # prune before stateful op
+    # idle_timeout=False: availableNow must terminate once the data is
+    # drained (pending processing-time timeouts would spin empty batches)
+    sessions = sessionize_events_stateful(stream, gap_seconds=3600,
+                                          idle_timeout=False)
+    work = tempfile.mkdtemp(prefix="seq2kg_stream_sessions_")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{work}/out")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("events_in_closed_sessions"),
+    )
+
+
 _ASCII_DOC_RE = "^[\\x20-\\x7e\\n\\t]*$"  # printable ASCII + \n\t (no \x0b/\f/\r:
 # the only chars where Java (?U)\s and RE2 \s could disagree with Python)
 
@@ -709,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_candidate_filtering": q_kg_candidate_filtering,
         "clean_text": q_clean_text,
         "clean_text_ascii": q_clean_text_ascii,
+        "streaming_sessions": q_streaming_sessions,
     }
 
 

@@ -41,6 +41,7 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 FAKE_MAGIC = b"FAKE"
+FAKE_AUDIO_MAGIC = b"FAKA"
 
 
 def encode_fake_image(width: int, height: int, seed: int) -> bytes:
@@ -50,13 +51,29 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     return FAKE_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
 
 
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """Deterministic stand-in waveform: FAKA | rate | n | int16 samples.
+    Second synthetic codec — proves the per-format dispatch seam is real
+    (different magic, different element width, different feature path)."""
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, size=n_samples, dtype=np.int16)
+    return (FAKE_AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples)
+            + samples.tobytes())
+
+
 def _decode(payload: bytes, fmt: str) -> np.ndarray:
+    """2-D uint8 array for images, 1-D int16 waveform for audio."""
     if fmt == "x-fake":
         if payload[:4] != FAKE_MAGIC:
             raise ValueError("corrupt x-fake payload")
         w, h = struct.unpack("<II", payload[4:12])
         return np.frombuffer(payload[12:12 + w * h],
                              dtype=np.uint8).reshape(h, w)
+    if fmt == "x-fake-audio":
+        if payload[:4] != FAKE_AUDIO_MAGIC:
+            raise ValueError("corrupt x-fake-audio payload")
+        _rate, n = struct.unpack("<II", payload[4:12])
+        return np.frombuffer(payload[12:12 + 2 * n], dtype=np.int16)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment — plug in "
         "PIL/imageio (image), soundfile (audio) or pyav (video) here"
@@ -65,11 +82,14 @@ def _decode(payload: bytes, fmt: str) -> np.ndarray:
 
 def media_features(media: DataFrame, n_bins: int = 16,
                    num_partitions: int | None = None) -> DataFrame:
-    """decode → per-item feature vector (intensity histogram).
+    """decode → per-item feature vector.
 
+    Images: intensity histogram over [0, 256); audio: |amplitude|
+    histogram over [0, 32768) with (width, height) = (n_samples, 1).
     (url, kind, feature array<float>, width int, height int) — the
-    feature UDF sees whole Arrow batches; payload-size skew is flattened
-    by the same salted size-bucketed repartition as the text path.
+    feature UDF sees whole Arrow batches; payload-size skew (a video is
+    10^4× a thumbnail, and kinds are skewed too) is flattened by the same
+    salted size-bucketed repartition as the text path.
     """
     from seq2kg_spark.operators.repartition import salted_size_repartition
 
@@ -87,14 +107,20 @@ def media_features(media: DataFrame, n_bins: int = 16,
                 fmt = meta["format"] if meta is not None else None
                 if payload is None or fmt is None:
                     continue
-                img = _decode(bytes(payload), fmt)
-                hist, _ = np.histogram(img, bins=n_bins, range=(0, 256))
-                feat = (hist / max(img.size, 1)).astype("float32")
+                arr = _decode(bytes(payload), fmt)
+                if arr.ndim == 2:            # image: intensity histogram
+                    hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                    width, height = arr.shape[1], arr.shape[0]
+                else:                        # audio: |amplitude| histogram
+                    hist, _ = np.histogram(np.abs(arr.astype(np.int32)),
+                                           bins=n_bins, range=(0, 32768))
+                    width, height = arr.shape[0], 1
+                feat = (hist / max(arr.size, 1)).astype("float32")
                 rows["url"].append(url)
                 rows["kind"].append(kind)
                 rows["feature"].append(feat.tolist())
-                rows["width"].append(img.shape[1])
-                rows["height"].append(img.shape[0])
+                rows["width"].append(width)
+                rows["height"].append(height)
             yield pd.DataFrame({
                 "url": pd.Series(rows["url"], dtype=object),
                 "kind": pd.Series(rows["kind"], dtype=object),

@@ -115,6 +115,8 @@ def stream_dedup_pages(
 def sessionize_events_stateful(
     events_stream: DataFrame,
     gap_seconds: int = 1800,
+    *,
+    idle_timeout: bool = True,
 ):
     """Custom stateful operator: gap-based sessionization per user via
     ``applyInPandasWithState`` (the escape hatch when watermarked windows
@@ -122,7 +124,13 @@ def sessionize_events_stateful(
 
     State per user: (session_start, last_ts, n_events, sum_value).  A new
     micro-batch extends the open session or closes it and emits a row when
-    the gap exceeds ``gap_seconds``.  Timeout closes idle sessions.
+    the gap exceeds ``gap_seconds``.  With ``idle_timeout=True`` a
+    processing-time timeout also flushes idle sessions — the right mode
+    for a long-running stream, but it keeps timeouts pending forever, so
+    an ``availableNow`` (drain-and-stop) run NEVER terminates: Spark keeps
+    scheduling empty micro-batches hoping to fire them.  Pass
+    ``idle_timeout=False`` for batch-style drains — only gap-closed
+    sessions are emitted; open sessions stay in state.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -162,16 +170,18 @@ def sessionize_events_stateful(
                     sv += float(val)
                     last = ts
                 state.update((ss, last, n, sv))
-                state.setTimeoutDuration(gap_seconds * 1000)
+                if idle_timeout:
+                    state.setTimeoutDuration(gap_seconds * 1000)
         yield pd.DataFrame(
             rows, columns=["user_id", "session_start", "session_end",
                            "n_events", "sum_value"],
         )
 
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout
+                    else GroupStateTimeout.NoTimeout)
     return (
         events_stream.groupBy("user_id")
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append",
-            GroupStateTimeout.ProcessingTimeTimeout,
+            fn, out_schema, state_schema, "append", timeout_conf,
         )
     )

@@ -54,6 +54,37 @@ def test_media_features_histograms(spark):
         assert r.width >= 16 and r.height >= 8
 
 
+def test_media_features_audio_codec_and_kind_skew(spark):
+    from seq2kg_spark.operators.multimodal import encode_fake_audio
+
+    rows = [
+        (f"m://img{i}", "image", encode_fake_image(16, 8, seed=i),
+         (16, 8, None, None, "x-fake"))
+        for i in range(9)
+    ] + [
+        # kind skew: one audio item, payload ~100× the images
+        ("m://aud0", "audio", encode_fake_audio(16000, 12000, seed=1),
+         (None, None, 16000, 12000, "x-fake-audio")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = media_features(media, n_bins=16, num_partitions=2).collect()
+    assert len(feats) == 10
+    aud = [r for r in feats if r.kind == "audio"]
+    assert len(aud) == 1 and aud[0].width == 12000 and aud[0].height == 1
+    for r in feats:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-5
+
+
+def test_media_decode_corrupt_and_unknown_format(spark):
+    from seq2kg_spark.operators.multimodal import _decode
+
+    with pytest.raises(ValueError):
+        _decode(b"XXXX" + b"\x00" * 16, "x-fake-audio")
+    with pytest.raises(NotImplementedError):
+        _decode(b"RIFF....", "wav")
+
+
 def test_media_resize_roundtrip(spark):
     media = _media_df(spark, n=3)
     resized = resize_stub(media, width=4, height=4).collect()
@@ -116,7 +147,11 @@ def test_stateful_sessionization(spark, tmp_path):
         .parquet(src)
     )
     q = (
-        sessionize_events_stateful(stream, gap_seconds=1800)
+        # idle_timeout=False so availableNow terminates when drained
+        # (pending processing-time timeouts would spin empty batches until
+        # the awaitTermination deadline)
+        sessionize_events_stateful(stream, gap_seconds=1800,
+                                    idle_timeout=False)
         .writeStream.format("memory")
         .queryName("sessions")
         .outputMode("append")
