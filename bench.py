@@ -34,8 +34,26 @@ def main() -> None:
     spark = get_spark("seq2kg-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Extraction is benched on the FIXED prose corpus (reference eval docs +
+    # seeded verb-bearing synthetic prose, log-normal skew), NOT the sf
+    # documents table: that table is verbless word salad by construction, so
+    # its triple yield collapses under agreement rules and the bench silently
+    # measured a 6x different output volume r1->r2.  The corpus is seeded and
+    # scales with sf, so rows/docs-per-sec are exactly reproducible
+    # round-over-round at the same sf.
+    n_pages = max(300, int(50_000 * sf))
+    from seq2kg_spark.packaging import ship_package
+    from seq2kg_spark.sources.pages import ensure_pages_parquet
+
+    ship_package(spark)
+    # materialize OUTSIDE the timed section (cached across runs)
+    pages_path = ensure_pages_parquet(spark, n_rows=n_pages)
+
     def kg_extract(s, d):
-        return E.q_kg_extract_triples(s, d)
+        from seq2kg_spark.operators.extract import extract_triples
+
+        return extract_triples(s.read.parquet(pages_path),
+                               num_partitions=max(16, cpus))
 
     def minhash_scale(s, d):
         return minhash_lsh_pairs(
@@ -88,8 +106,7 @@ def main() -> None:
         rows[name] = fn(spark, sf_dir).count()
         extra_timings[name] = round(time.monotonic() - t0, 3)
 
-    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    extract_dps = round(n_docs / timings["kg_extract_triples"], 2)
+    extract_dps = round(n_pages / timings["kg_extract_triples"], 2)
     spark.stop()
 
     print(
@@ -104,6 +121,7 @@ def main() -> None:
                     "cpus": cpus,
                     "rows": rows,
                     "kg_extract_docs_per_sec": extract_dps,
+                    "kg_extract_corpus": f"prose:{n_pages}",
                     "extra_queries": extra_timings,
                 },
             }
