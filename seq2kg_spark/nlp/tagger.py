@@ -503,8 +503,12 @@ def _assign_pos(toks: list[Tok]) -> None:
             # possessive clitic vs contracted is/has: aux when a past
             # participle or auxiliary follows ("America's released a
             # video", "it's been") — NOT -ing ("America's dining capital"
-            # is possessive + gerund modifier)
+            # is possessive + gerund modifier); after a PROPN possessor a
+            # bare base form is a noun ("GM 's turn to show" — contracted
+            # is/has never takes a base verb)
             if ((_verb_suffix(nxt_lower) in ("ed", "base")
+                 and not (prev_pos == "PROPN"
+                          and _verb_suffix(nxt_lower) == "base")
                  and nxt_lower not in NOUN_BIAS)
                     or nxt_lower in AUXILIARIES):
                 t.pos = "VERB"
@@ -694,10 +698,13 @@ def _assign_pos(toks: list[Tok]) -> None:
                 t.pos = "VERB"
             elif (prev_pos in ("DET", "ADP", "NUM", "ADJ")
                     and (prev_lower not in ("that", "which", "who")
-                         or prev_pos == "DET")):
+                         or prev_pos == "DET")
+                    and not (prev_pos == "NUM" and suf in ("s", "es")
+                             and nxt_lower in DETERMINERS)):
                 # "the work", "of cars", "in question" → nominal context
                 # (but a relative pronoun introduces a verb: "seats that
-                # help make it")
+                # help make it"; and an -s form after a numeral subject
+                # taking a determiner object is finite: "level 2 gives the")
                 t.pos = "NOUN"
             elif suf in ("s", "es") and (
                     (prev_pos not in ("PRON", "PROPN", "NOUN")
@@ -1063,6 +1070,20 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                     spans.append((i, last_nominal + 1))
                     i = j
                     continue
+            if t.text.lower() == "which":
+                # relative 'which' never surfaces as a node in the goldens
+                # (it would otherwise merge into the following subject NP
+                # via the adjacent-ENTITY rule: 'which sustainability')
+                i += 1
+                continue
+            if (t.text.lower() == "that" and i > 0
+                    and toks[i - 1].pos in ("NOUN", "PROPN")
+                    and i + 1 < n and toks[i + 1].pos == "VERB"):
+                # relative 'that' right after its head noun ("Foundation
+                # that will seek") — not a chunk, else the adjacent-ENTITY
+                # merge swallows it ('the Noble Foundation that')
+                i += 1
+                continue
             spans.append((i, i + 1))
             i += 1
             continue
