@@ -1355,6 +1355,10 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
         if first is None:
             seen_lower[low] = mention
 
+    # pronoun cluster chains: neuralcoref links every 'it' of a cluster to
+    # ONE main across sentences; when a later same-form pronoun has no
+    # in-range antecedent, continue the previous resolution
+    last_pron: dict[str, tuple[int, str]] = {}
     for i, t in enumerate(toks):
         lower = t.text.lower()
         if lower in ("he", "she", "it", "they"):
@@ -1387,8 +1391,17 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                 # nearest mention is a bare common noun ("act", "moment") —
                 # neuralcoref would pick the salient NAMED mention instead
                 best = best_proper
+            if best is None and lower in last_pron:
+                # cluster continuity fallback: a same-form pronoun with no
+                # in-range antecedent continues the previous cluster
+                # (full continuity — overriding the nearest antecedent —
+                # was measured and REGRESSES: -8 hits)
+                prev_i, prev_main = last_pron[lower]
+                if i - prev_i <= 60:
+                    best = prev_main
             if best is not None:
                 pairs.append([t.text, best])
+                last_pron[lower] = (i, best)
         elif (lower in _COREF_HYPERNYMS and i > 0
               and toks[i - 1].text.lower() in ("the", "this", "that")):
             # definite hypernym NP → nearest prior mention with the SAME
@@ -1411,7 +1424,14 @@ def _extend_over_opening_quotes(
 ) -> list[tuple[int, int]]:
     """spaCy keeps an OPENING '"' inside the following NP span ('" Top
     Gear' is a golden node); extend spans leftward over opening quotes
-    (a quote is opening when an even number of quotes precede it)."""
+    (a quote is opening when an even number of quotes precede it).
+
+    Only NP-internal scare quotes extend — the quote must follow a
+    determiner/adjective/possessive/numeral ('the " SUV "', 'a " helmet
+    visor " effect', "BBC ' s \" Top Gear").  A quote after a speech verb,
+    adposition, or clause boundary opens a QUOTATION/title and stays
+    outside the chunk ('replied " STOP "', 'in " Gran Turismo 6 "') —
+    golden nodes drop it there (measured: ADP in the set costs 4 hits)."""
     parity = {}
     seen = 0
     for k, t in enumerate(toks):
@@ -1420,7 +1440,8 @@ def _extend_over_opening_quotes(
             seen += 1
     out = []
     for s, e in spans:
-        if s > 0 and parity.get(s - 1):
+        if (s > 1 and parity.get(s - 1)
+                and toks[s - 2].pos in ("DET", "ADJ", "PART", "NUM")):
             s = s - 1
         out.append((s, e))
     return out
