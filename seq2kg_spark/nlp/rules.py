@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from seq2kg_spark.nlp.tagger import Analysis, Tok
 
-_DEP_PRIORITY = ("ROOT", "nsubj", "nsubjpass", "dobj", "pobj")
+_DEP_PRIORITY = ("ROOT", "nsubj", "nsubjpass", "attr", "dobj", "pobj")
 
 
 def filter_spans(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:

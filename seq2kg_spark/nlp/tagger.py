@@ -650,6 +650,11 @@ def _assign_pos(toks: list[Tok]) -> None:
                          and prev_pos == "NOUN"
                          and prev_lower.endswith("s")
                          and not prev_lower.endswith("ss"))
+                and not (_verb_suffix(lower) in ("s", "es")
+                         and prev_pos == "PROPN"
+                         and (nxt_lower == "to"
+                              or nxt_lower in DETERMINERS
+                              or nxt_lower in ADPOSITIONS))
                 and prev_lower not in ("i", "we", "they", "he", "she",
                                        "you", "it", "will", "would", "can",
                                        "could", "may", "might", "must",
@@ -753,9 +758,12 @@ def _assign_pos(toks: list[Tok]) -> None:
                 and not lower.endswith("eed")
                 and lower not in ("hundred", "indeed", "naked", "sacred",
                                   "wicked", "beloved", "rugged")
-                and prev_pos in ("NOUN", "PROPN", "NUM", "PRON")):
+                and (prev_pos in ("NOUN", "PROPN", "NUM", "PRON")
+                     or (prev_lower == ","
+                         and prev2_pos in ("NOUN", "PROPN", "NUM")))):
             # unknown -ed form right after a nominal → finite verb
-            # ("the CR 25 predated the FF")
+            # ("the CR 25 predated the FF"); also after an appositive's
+            # closing comma ("..., proprietor of Blackberry Farm , died")
             t.pos = "VERB"
         elif lower in ADVERBS_EXTRA or (lower.endswith("ly") and len(lower) > 4
                                         and lower not in _LY_NOUNS):
@@ -1094,7 +1102,8 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
             i += 2
             continue
         if t.pos in ("DET", "ADJ", "NOUN", "PROPN", "NUM") or (
-                t.text.lower() in FOCUS_ADVERBS and i + 1 < n
+                t.text.lower() in FOCUS_ADVERBS
+                and t.text.lower() != "not" and i + 1 < n
                 and toks[i + 1].pos in ("DET", "ADJ", "NOUN", "PROPN",
                                         "NUM")) or (
                 t.text.lower() in FOCUS_ADVERBS and i + 2 < n
@@ -1402,6 +1411,25 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
             if best is not None:
                 pairs.append([t.text, best])
                 last_pron[lower] = (i, best)
+        elif lower in ("him", "her") and toks[i].pos == "PRON":
+            # object-form person pronouns: nearest preceding capitalized
+            # mention (they are unambiguously referential, and unresolved
+            # they die in the stopword filter — the reference resolves
+            # them first, so 'him' triples surface as the person)
+            best = None
+            for s, e, mention in cands:
+                if e > i:
+                    break
+                if i - e > 25:
+                    continue
+                words = mention.split()
+                if (len(words) <= 3
+                        and all(w[:1].isupper() for w in words)
+                        and all(toks[k].pos == "PROPN"
+                                for k in range(s, e))):
+                    best = mention
+            if best is not None:
+                pairs.append([t.text, best])
         elif (lower in _COREF_HYPERNYMS and i > 0
               and toks[i - 1].text.lower() in ("the", "this", "that")):
             # definite hypernym NP → nearest prior mention with the SAME
