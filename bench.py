@@ -88,6 +88,8 @@ def main() -> None:
     extra_queries = {
         "ann_ivf_int": E.q_ann_ivf_int,
         "kg_m4_decode": E.q_kg_m4_decode,
+        "lsh_topk_int": E.q_lsh_topk_int,
+        "streaming_sessions": E.q_streaming_sessions,
     }
 
     timings: dict[str, float] = {}

@@ -55,3 +55,19 @@ def test_kmeans_centroids_posexplode_agg(spark):
     # centroids moved off the seeds and are finite
     flat = np.asarray(cents, dtype=np.float64)
     assert np.isfinite(flat).all()
+
+
+def test_kmeans_high_dim_no_column_fanout(spark):
+    # 768-dim: the posexplode aggregation must not widen into one agg
+    # column per dimension (the former F.sum(x_i) fan-out)
+    import pyspark.sql.functions as F
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(767)),
+            lambda i: ((F.col("id") + i) % 7).cast("float") / 7,
+        ).alias("embedding"),
+    )
+    cents = kmeans_centroids(emb, k=3, n_iter=1, dim=768)
+    assert len(cents) == 3 and all(len(c) == 768 for c in cents)
+    assert all(np.isfinite(np.asarray(c)).all() for c in cents)
