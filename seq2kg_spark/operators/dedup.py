@@ -178,7 +178,10 @@ def minhash_lsh_pairs(
     doc_sets = sh.groupBy("doc_id").agg(
         F.slice(F.array_sort(F.collect_set("shingle")), 1,
                 max_shingles).alias("shingles"),
-        F.count_distinct("shingle").alias("n_true"),
+        # shingle_table is distinct by construction (array_distinct before
+        # the explode) — plain count avoids count_distinct's extra
+        # (doc_id, shingle) exchange
+        F.count(F.lit(1)).alias("n_true"),
     ).withColumn("n", F.size("shingles"))
     a_sets = doc_sets.select(F.col("doc_id").alias("doc_a"),
                              F.col("shingles").alias("sh_a"),
