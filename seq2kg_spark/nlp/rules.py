@@ -129,9 +129,16 @@ def apply_chunk_merges(analysis: Analysis) -> list[Tok]:
     toks = merge_spans(
         toks, _adjacent(lambda a, b: a.pos == "VERB" and b.pos in ("ADP", "PART")),
         "VERB", text)
-    # R8: ADP|PART + VERB
+    # R8: ADP|PART + VERB — except an UNATTACHED infinitival 'to': the
+    # reference outputs contain zero 'to X' predicates corpus-wide (96 bare
+    # 'to' preds, 117 'to X' preds were OUR artifact), while V+to+V chains
+    # ('hopes to save') DO occur — those build via R7 + the R6 re-run, so
+    # only the bare PART-'to' left side is excluded here.
     toks = merge_spans(
-        toks, _adjacent(lambda a, b: b.pos == "VERB" and a.pos in ("ADP", "PART")),
+        toks,
+        _adjacent(lambda a, b: b.pos == "VERB" and (
+            a.pos == "ADP"
+            or (a.pos == "PART" and a.text.lower() != "to"))),
         "VERB", text)
     # R6 again
     toks = merge_spans(

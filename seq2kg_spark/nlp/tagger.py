@@ -1475,10 +1475,25 @@ def _extend_over_opening_quotes(
     return out
 
 
+def _demote_orphan_infinitives(toks: list[Tok]) -> None:
+    """A base verb after an UNATTACHED infinitival 'to' (no governing verb
+    before the 'to') is invisible in the reference outputs: it is never a
+    predicate and never part of a node ('caused the plaintiff to suffer
+    anxiety' yields objects {plaintiff, anxiety} with single pred 'caused').
+    V+to+V chains keep their VERB ('hopes to save' IS a golden pred)."""
+    for i in range(1, len(toks)):
+        if (toks[i].pos == "VERB" and toks[i].tag == "VB"
+                and toks[i - 1].text.lower() == "to"
+                and toks[i - 1].pos == "PART"
+                and (i < 2 or toks[i - 2].pos != "VERB")):
+            toks[i].pos = "X"
+
+
 def analyze(text: str) -> Analysis:
     """Full deterministic analysis of one (already cleaned) document."""
     toks = _tokenize(text)
     _assign_pos(toks)
+    _demote_orphan_infinitives(toks)
     _assign_deps(toks)
     ent_spans = _extend_over_opening_quotes(toks, _entity_spans(toks))
     chunk_spans = _extend_over_opening_quotes(toks, _noun_chunk_spans(toks))
