@@ -1399,6 +1399,8 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                     and len(best.split()) == 1 and best[:1].islower()):
                 # nearest mention is a bare common noun ("act", "moment") —
                 # neuralcoref would pick the salient NAMED mention instead
+                # (any wider PROPN preference measured: -10 hits for all
+                # common-noun phrases, -1 for two-word definite NPs)
                 best = best_proper
             if best is None and lower in last_pron:
                 # cluster continuity fallback: a same-form pronoun with no
