@@ -37,6 +37,8 @@ ADPOSITIONS = {
     "around", "near", "since", "until", "upon", "within", "through", "into",
     "onto", "across", "behind", "beyond", "despite", "except", "inside",
     "outside", "toward", "towards", "via", "amid", "along", "off", "than",
+    "without", "above", "below", "beside", "beneath", "underneath",
+    "unlike", "atop", "amongst", "aboard", "versus",
     "as", "like", "per", "throughout", "alongside",
     # subordinating conjunctions (spaCy tags these IN → predicate role)
     "while", "although", "though", "because", "unless", "whereas", "if",
@@ -605,6 +607,15 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "CCONJ"
         elif lower in AUXILIARIES:
             t.pos = "VERB"  # spaCy 2.x tagged auxiliaries as VERB
+        elif lower in ("up", "out", "off", "down", "away") and not (
+                prev_pos == "VERB"
+                or nxt_lower in DETERMINERS
+                or nxt_lower in ("its", "their", "my", "your", "our",
+                                 "his", "her")):
+            # bare particle with no verb to merge into and no NP object:
+            # spaCy tags these RP/RB, never IN — the reference emits almost
+            # no bare 'out'/'up' predicates (2/0 vs our former 18/10)
+            t.pos = "ADV"
         elif lower in ADPOSITIONS:
             t.pos = "ADP"
         elif w[:1].isupper() and (not t.sent_start or lower in midcap or
@@ -636,6 +647,9 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "VERB"
         elif lower == "according" and nxt_lower == "to":
             t.pos = "VERB"  # fixed phrase, merges to pred "according to"
+        elif lower == "thanks" and nxt_lower == "to":
+            t.pos = "NOUN"  # "thanks to X" is nominal in the goldens
+            #                 (ref emits zero 'thanks to' predicates)
         elif (lower in _IRREGULAR_PAST
                 and (prev_pos in ("PROPN", "PRON")
                      or (prev_pos == "ADV"
@@ -763,7 +777,9 @@ def _assign_pos(toks: list[Tok]) -> None:
                          and prev2_pos in ("NOUN", "PROPN", "NUM")))):
             # unknown -ed form right after a nominal → finite verb
             # ("the CR 25 predated the FF"); also after an appositive's
-            # closing comma ("..., proprietor of Blackberry Farm , died")
+            # closing comma ("..., proprietor of Blackberry Farm , died").
+            # (A bare-nominal-follows restriction for participial modifiers
+            # like "serial numbered dash" was measured: -8 hits.)
             t.pos = "VERB"
         elif lower in ADVERBS_EXTRA or (lower.endswith("ly") and len(lower) > 4
                                         and lower not in _LY_NOUNS):
