@@ -561,6 +561,11 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "PART" if (_verb_suffix(nxt_lower) == "base"
                                or nxt_lower in AUXILIARIES
                                or prev_lower in _INF_TAKERS
+                               # split infinitive: "to safely handle"
+                               or ((nxt_lower in ADVERBS_EXTRA
+                                    or (nxt_lower.endswith("ly")
+                                        and len(nxt_lower) > 4))
+                                   and _verb_suffix(nxt2) == "base")
                                or (nxt_lower.isalpha()
                                    and nxt_lower not in DETERMINERS
                                    and nxt_lower not in PRONOUNS
