@@ -66,6 +66,8 @@ AUXILIARIES = {"is", "are", "was", "were", "be", "been", "being", "am",
 # Common verb stems — enough coverage for news/web prose. Inflections are
 # derived morphologically below.
 VERB_STEMS = {
+    "order", "mess", "authorize", "ingest", "scare", "snag", "pinpoint",
+    "pronounce", "clock", "bolster", "spawn", "tout", "heed",
     "say", "said", "make", "made", "take", "took", "taken", "get", "got",
     "go", "went", "gone", "come", "came", "see", "saw", "seen", "know",
     "knew", "known", "give", "gave", "given", "find", "found", "think",
@@ -499,8 +501,15 @@ def _assign_pos(toks: list[Tok]) -> None:
             # pre-tokenized clitic: after a PROPER noun the orphan "s" is
             # a possessive marker inside the NP ("McDonald ' s endeavor" is
             # a golden node), after pronouns/common nouns spaCy tags it VBZ
-            # and it becomes a predicate ("It ' s", "city ' s affinity")
-            t.pos = "PART" if prev_pos == "PROPN" else "VERB"
+            # and it becomes a predicate ("It ' s", "city ' s affinity").
+            # A PLURAL possessor is possessive again ("men ' s basketball",
+            # "people ' s ways" — a plural subject can't take a 3sg copula)
+            plural_prev = (prev_pos == "NOUN"
+                           and (prev_lower in _IRREGULAR_PLURALS
+                                or (prev_lower.endswith("s")
+                                    and not prev_lower.endswith("ss"))))
+            t.pos = ("PART" if prev_pos == "PROPN" or plural_prev
+                     else "VERB")
         elif lower in {"'s", "’s"}:
             # possessive clitic vs contracted is/has: aux when a past
             # participle or auxiliary follows ("America's released a
