@@ -68,6 +68,13 @@ DROP_WORDS = ["a", "an", "the", "its", "their", "his", "her", "our", "all",
               "old", "new", "latest", "who", "that", "this", "these", "those"]
 _DROP_SET = frozenset(DROP_WORDS)
 
+# bare pronouns that never surface as golden nodes (neuralcoref resolves
+# them in the reference; 'i'/'you' excluded — goldens keep those)
+_PRONOUN_DROP = frozenset({
+    "it", "we", "that", "what", "this", "they", "he", "she", "them",
+    "these", "those", "who", "which", "there",
+})
+
 
 def _sentences_from_rows(rows: list[tuple]) -> list[list[list]]:
     """A1 — SPO role assignment (triples_from_text.py:259-277).
@@ -256,11 +263,15 @@ def filter_battery(all_triples: list[list[str]]) -> list[list[str]]:
     for s, p, o in all_triples:
         if (s, p, o) in seen:  # reference: `[s,p,o] in filtered` (O(n²))
             continue
-        # Case-SENSITIVE stopword check and no min-length / short-lowercase
-        # filters: the golden output CSVs contain 'I', 'You', 'Q', 'car',
-        # 'ad' — i.e. they were produced before those guards were added to
-        # triples_from_text.py; parity targets the goldens.
+        # Stopword check: case-sensitive for ordinary stopwords (golden
+        # CSVs keep 'I', 'You' — they predate parts of the current
+        # battery), but PRONOUN nodes the reference's neuralcoref would
+        # have resolved never appear bare in the goldens — drop them
+        # case-insensitively ('It', 'We', 'That': 40+ leaked extras
+        # measured; 'I'/'You' excluded, they are golden nodes)
         if s in _STOP_SET or o in _STOP_SET:
+            continue
+        if s.lower() in _PRONOUN_DROP or o.lower() in _PRONOUN_DROP:
             continue
         if s == p:
             continue

@@ -226,13 +226,15 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "then", "here", "there", "very", "too", "just", "still",
                  "already", "soon", "often", "never", "always", "again",
                  "not", "n't", "more", "most", "later", "once", "apparently",
-                 "together", "instead", "however", "meanwhile", "perhaps",
+                 "together", "instead", "however", "meanwhile", "perhaps", "rather",
+                 "forward", "ahead", "else",
                  "even", "when", "where", "why", "how", "yet", "ever", "back",
                  "maybe", "otherwise", "somehow", "anyway", "moreover",
                  "furthermore", "nonetheless", "meanwhile", "today",
                  "tomorrow", "yesterday"}
 
 ADJECTIVES_EXTRA = {"ready", "formal", "biggest", "largest", "smallest",
+                    "enough", "sure",
                     "newest", "oldest", "fastest", "slowest", "highest",
                     "lowest", "longest", "shortest", "strongest", "best",
                     "worst", "richest", "cheapest", "finest", "coolest",
