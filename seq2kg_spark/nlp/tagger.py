@@ -227,14 +227,16 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "already", "soon", "often", "never", "always", "again",
                  "not", "n't", "more", "most", "later", "once", "apparently",
                  "together", "instead", "however", "meanwhile", "perhaps", "rather",
-                 "forward", "ahead", "else",
+                 "forward", "ahead", "else", "quite", "thus", "somewhere",
+                 "anywhere", "everywhere", "nowhere", "pretty",
                  "even", "when", "where", "why", "how", "yet", "ever", "back",
                  "maybe", "otherwise", "somehow", "anyway", "moreover",
                  "furthermore", "nonetheless", "meanwhile", "today",
                  "tomorrow", "yesterday"}
 
 ADJECTIVES_EXTRA = {"ready", "formal", "biggest", "largest", "smallest",
-                    "enough", "sure",
+                    "enough", "sure", "nice", "ordinary", "straight", "insane",
+                    "wild", "crazy",
                     "newest", "oldest", "fastest", "slowest", "highest",
                     "lowest", "longest", "shortest", "strongest", "best",
                     "worst", "richest", "cheapest", "finest", "coolest",
