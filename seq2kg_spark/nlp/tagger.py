@@ -1225,12 +1225,19 @@ def _noun_chunk_spans(toks: list[Tok]) -> list[tuple[int, int]]:
 
 
 def _assign_deps(toks: list[Tok]) -> None:
-    """Heuristic dependency roles per sentence (enough for SPO assembly)."""
+    """Heuristic dependency roles per clause (enough for SPO assembly).
+
+    Segmentation here includes ';' and ':' — a real parser roots each
+    finite clause separately ("...farm ; it is today a designated member")
+    even though the TRIPLE-assembly sentence counter (reference quirk)
+    splits only on '.'.
+    """
     n = len(toks)
+    clause_end = _SENT_END | {";", ":"}
     start = 0
     while start < n:
         end = start
-        while end < n and toks[end].text not in _SENT_END:
+        while end < n and toks[end].text not in clause_end:
             end += 1
         sent = toks[start:end]
         verbs = [t for t in sent if t.pos == "VERB"]
