@@ -1473,7 +1473,7 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                     best = mention
             if best is not None:
                 pairs.append([t.text, best])
-        elif (lower in _COREF_HYPERNYMS and i > 0
+        elif (lower in (_COREF_HYPERNYMS | _COREF_NOMINALS) and i > 0
               and toks[i - 1].text.lower() in ("the", "this", "that")):
             # definite hypernym NP → nearest prior mention with the SAME
             # head word ("the chain" → "his pizza chain", "The show" →
@@ -1487,6 +1487,24 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
                     best = mention
             if best is not None:
                 pairs.append([f"{toks[i-1].text} {t.text}", best])
+            elif lower in _COREF_NOMINALS:
+                # organization-ish definite NP with no same-head
+                # antecedent ("the company") → nearest preceding
+                # all-proper-noun mention, like neuralcoref
+                cand_best = None
+                for s, e, mention in cands:
+                    if e > i - 1:
+                        break
+                    if i - 1 - e > 40:
+                        continue
+                    words = mention.split()
+                    if (len(words) <= 3
+                            and all(w[:1].isupper() for w in words)
+                            and all(toks[k].pos == "PROPN"
+                                    for k in range(s, e))):
+                        cand_best = mention
+                if cand_best is not None:
+                    pairs.append([f"{toks[i-1].text} {t.text}", cand_best])
     return pairs
 
 
