@@ -1317,7 +1317,10 @@ _COREF_PRONOUNS = {"he", "she", "it", "they", "him", "her", "them"}
 _COREF_HYPERNYMS = {"chain", "show", "app", "vehicle", "car", "truck",
                     "store", "museum", "venue", "stadium", "company",
                     "restaurant", "brand", "program", "video", "engine",
-                    "model", "event"}
+                    "model", "event", "accident", "manager", "expedition",
+                    "episode", "concept", "biker", "owner", "hoverboard",
+                    "artist", "outbreak", "package", "state", "city",
+                    "prototype"}
 
 
 def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
