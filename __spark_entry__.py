@@ -468,6 +468,54 @@ def q_lsh_bucketed_topk(spark, sf_dir):
                              query_ids=list(range(10)), k=5)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation: language gate + quality gate +
+    exact-dedup retention (min doc_id per text hash wins) in ONE pass —
+    the composition a 100 TB pretraining pipeline runs before tokenizing.
+    One shuffle (dedup groupBy); the gates are pure Catalyst."""
+    import seq2kg_spark.functions.text_stats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TS.lang_id(F.col("text")).alias("lang_pred"),
+        TS.token_count_ws(F.col("text")).alias("n_words"),
+        TS.quality_label(F.col("text")).alias("quality"),
+        F.md5("text").alias("h"),
+    )
+    keep = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        scored.join(keep, "h")
+        .where((F.col("doc_id") == F.col("keep_id"))
+               & (F.col("lang_pred") == "en")
+               & (F.col("quality") == "ok"))
+        .select("doc_id", F.col("n_words").cast("long").alias("n_words"))
+    )
+
+
+def q_dedup_retention(spark, sf_dir):
+    """Near-dup retention policy: MinHash-LSH pairs → connected components
+    → keep the min doc_id of each near-dup cluster.  The standard 'which
+    copy survives' step after pair detection; component ids double as the
+    cluster key.  Exact oracle: the DuckDB twin recomputes the pairs and
+    closes them with a recursive CTE."""
+    from seq2kg_spark.operators.canonicalize import connected_components
+    from seq2kg_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n_bands=8, threshold=0.002,
+                              hash_fn="md5")
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+    return (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(comp, "node", "left")
+        .select("node",
+                F.coalesce("component", F.col("node")).alias("cluster"))
+        .withColumn("kept", F.col("node") == F.col("cluster"))
+    )
+
+
 def q_lsh_topk_int(spark, sf_dir):
     """Sign-LSH ANN over integer hyperplanes + quantized-int re-rank —
     every step 64-bit exact, so the DuckDB twin matches bit-for-bit."""
@@ -748,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_m4_decode": q_kg_m4_decode,
         "lsh_bucketed_topk": q_lsh_bucketed_topk,
         "lsh_topk_int": q_lsh_topk_int,
+        "corpus_curation": q_corpus_curation,
+        "dedup_retention": q_dedup_retention,
         "media_features": q_media_features,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1212,6 +1262,84 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_int": _ann_ivf_int_oracle(),
         "lsh_topk_int": _lsh_topk_int_oracle(),
         "clean_text_ascii": _clean_text_ascii_oracle(),
+        "corpus_curation": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS w
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, text, len(w) AS n_words,
+                len(list_filter(w, x -> lower(x) IN ({_EN_SQL}))) AS en,
+                len(list_filter(w, x -> lower(x) IN ({_DE_SQL}))) AS de,
+                length(text) AS total,
+                length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS cl
+              FROM t
+            ),
+            keepers AS (
+              SELECT md5(text) AS h, min(doc_id) AS keep_id
+              FROM documents GROUP BY 1
+            )
+            SELECT m.doc_id, CAST(m.n_words AS BIGINT) AS n_words
+            FROM m
+            JOIN documents d USING (doc_id)
+            JOIN keepers k ON k.h = md5(d.text) AND k.keep_id = m.doc_id
+            WHERE m.en > m.de AND m.en > 0
+              AND NOT (m.n_words < 5)
+              AND NOT ((CASE WHEN m.total > 0 THEN
+                        CAST(floor((m.total - m.cl) * 10000.0 / m.total)
+                             AS BIGINT) ELSE 0 END) > 3000)
+              AND NOT ((CASE WHEN m.n_words > 0 THEN
+                        CAST(floor(m.en * 10000.0 / m.n_words) AS BIGINT)
+                        ELSE 0 END) = 0)
+        """,
+        "dedup_retention": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, b.band,
+                     min(md5(concat(CAST(b.band AS VARCHAR), ':', shingle)))
+                         AS sig
+              FROM shingles, generate_series(0, 7) b(band)
+              GROUP BY doc_id, b.band
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM sig x JOIN sig y
+                ON x.band = y.band AND x.sig = y.sig
+               AND x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN shingles sa ON sa.doc_id = c.doc_a
+              JOIN shingles sb ON sb.doc_id = c.doc_b
+                              AND sb.shingle = sa.shingle
+              GROUP BY 1, 2
+            ),
+            sim AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4)
+                    >= 0.002
+            ),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM sim
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM sim
+            ),
+            cc(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, c.comp
+              FROM cc c JOIN edges e ON e.a = c.node
+              WHERE c.comp < e.b
+            )
+            SELECT node, min(comp) AS cluster,
+                   (node = min(comp)) AS kept
+            FROM cc GROUP BY node
+        """,
         "kg_m4_decode": """
             WITH toks AS (
               SELECT doc_id, i AS word_idx, w[i] AS word,
