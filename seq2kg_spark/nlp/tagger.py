@@ -69,7 +69,7 @@ VERB_STEMS = {
     "order", "mess", "authorize", "ingest", "scare", "snag", "pinpoint",
     "pronounce", "clock", "bolster", "spawn", "tout", "heed",
     "say", "said", "make", "made", "take", "took", "taken", "get", "got",
-    "go", "went", "gone", "come", "came", "see", "saw", "seen", "know",
+    "go", "goes", "went", "gone", "does", "come", "came", "see", "saw", "seen", "know",
     "knew", "known", "give", "gave", "given", "find", "found", "think",
     "thought", "tell", "told", "become", "became", "show", "shown",
     "showed", "leave", "left", "feel", "felt", "put", "bring", "brought",
@@ -687,6 +687,12 @@ def _assign_pos(toks: list[Tok]) -> None:
                          and (nxt_lower == "to"
                               or nxt_lower in DETERMINERS
                               or nxt_lower in ADPOSITIONS))
+                and not (_verb_suffix(lower) in ("s", "es")
+                         and prev_lower == ","
+                         and (nxt_lower in ADPOSITIONS
+                              or nxt_lower in DETERMINERS))
+                and not (prev_pos == "VERB"
+                         and prev_lower in ("s", "re", "ve", "m", "ll"))
                 and prev_lower not in ("i", "we", "they", "he", "she",
                                        "you", "it", "will", "would", "can",
                                        "could", "may", "might", "must",
