@@ -500,7 +500,10 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif w == "$":
             t.pos = "SYM"
         elif w[0].isdigit():
-            t.pos = "NUM"
+            # digit-led name plurals ('49ers') are proper nouns, not
+            # numerals — as NUM they put the following verb in nominal
+            # context ('49ers play home games')
+            t.pos = "PROPN" if w.lower().endswith("ers") else "NUM"
         elif lower == "s" and prev_raw == "'":
             # pre-tokenized clitic: after a PROPER noun the orphan "s" is
             # a possessive marker inside the NP ("McDonald ' s endeavor" is
