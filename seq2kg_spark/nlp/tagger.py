@@ -1050,7 +1050,8 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                     ("at", "least"), ("up", "to"), ("at", "most")):
                 start = m - 2
             elif m >= 1 and toks[m - 1].text.lower() in (
-                    "about", "nearly", "over", "around", "almost", "some"):
+                    "about", "nearly", "over", "around", "almost", "some",
+                    "approximately", "roughly"):
                 start = m - 1
             add(start, m + 1)
     while i < n:
@@ -1299,9 +1300,12 @@ def _assign_deps(toks: list[Tok]) -> None:
                     # spaCy ("LA is the car capital") — R5's of-merge skips
                     # attr left sides, so the distinction matters downstream.
                     # Orphan clitic copulas ("It ' s", "' re") count.
-                    t.dep = ("attr" if (root.lemma in AUXILIARIES
-                                        or root.lemma in ("s", "re", "ve",
-                                                          "m", "ll"))
+                    # BE-forms only: 'has/have' as root takes dobj and the
+                    # of-merge applies ("has a curb weight of 1,459 pounds")
+                    t.dep = ("attr" if (root.lemma in ("is", "are", "was",
+                                                       "were", "be", "been",
+                                                       "being", "am",
+                                                       "s", "re", "m"))
                              else "dobj")
                     obj_after_root = True
                 elif not subj_assigned and root is not None and t.i < root.i:
