@@ -1564,6 +1564,11 @@ def _demote_orphan_infinitives(toks: list[Tok]) -> None:
                 and toks[i - 1].pos == "PART"
                 and (i < 2 or toks[i - 2].pos != "VERB")):
             toks[i].pos = "X"
+        elif (toks[i].pos == "VERB" and toks[i].tag in ("VB", "VBG")
+                and toks[i - 1].pos == "X"):
+            # verb chain continuing a demoted infinitive ('to continue
+            # outselling the Mustang') — the whole phrase is invisible
+            toks[i].pos = "X"
 
 
 def analyze(text: str) -> Analysis:
