@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from seq2kg_spark.functions import text_stats as TS  # noqa: E402
 from seq2kg_spark.nlp.assemble import ALL_STOP_WORDS, DROP_WORDS  # noqa: E402
+# the oracle twin computes jaccard on UNCAPPED shingle sets, so it matches the
+# Spark side (capped estimate + approx flag) only while no doc exceeds the
+# cap — interpolating the shared constant keeps the two from drifting, and
+# tests/test_dedup_cap.py asserts the sf0.01 corpus stays under it.
+from seq2kg_spark.operators.dedup import MAX_SHINGLES_DEFAULT as _MAX_SHINGLES  # noqa: E402
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -688,6 +693,7 @@ def q_streaming_sessions(spark, sf_dir):
     rollup.  Inherently stateful-streaming — no SQL oracle (rows-only):
     session boundaries depend on cross-row state and the micro-batch
     lifecycle, which DuckDB cannot express."""
+    import shutil
     import tempfile
 
     from seq2kg_spark.packaging import ship_package
@@ -705,7 +711,12 @@ def q_streaming_sessions(spark, sf_dir):
     # drained (pending processing-time timeouts would spin empty batches)
     sessions = sessionize_events_stateful(stream, gap_seconds=3600,
                                           idle_timeout=False)
-    work = tempfile.mkdtemp(prefix="seq2kg_stream_sessions_")
+    # ONE deterministic workdir, wiped before each run: the returned
+    # DataFrame reads the output lazily (the driver collects after this
+    # function returns), so the files must outlive the call — reuse-and-wipe
+    # bounds disk to a single run instead of a fresh mkdtemp per invocation.
+    work = os.path.join(tempfile.gettempdir(), "seq2kg_stream_sessions")
+    shutil.rmtree(work, ignore_errors=True)
     q = (
         sessions.writeStream.format("parquet")
         .option("path", f"{work}/out")
@@ -715,10 +726,34 @@ def q_streaming_sessions(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(f"{work}/out")
+    # explicit schema: an empty sink dir (zero closed sessions) must yield
+    # 0 rows, not a schema-inference AnalysisException
+    out = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    ).parquet(f"{work}/out")
     return out.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.sum("n_events").alias("events_in_closed_sessions"),
+    )
+
+
+def q_sessions_batch(spark, sf_dir):
+    """Batch twin of the streaming sessionization (lag-gap-cumsum in pure
+    Spark SQL) — hash-exact against a DuckDB window oracle, and pytest-
+    asserted equal to the drained stateful stream's closed sessions."""
+    from seq2kg_spark.streaming.ingest import sessionize_events_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_events_batch(ev, gap_seconds=3600)
+    return out.select(
+        "user_id",
+        F.date_format("session_start",
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end",
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
     )
 
 
@@ -811,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "clean_text_ascii": q_clean_text_ascii,
         "streaming_sessions": q_streaming_sessions,
+        "sessions_batch": q_sessions_batch,
     }
 
 
@@ -1218,7 +1254,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b,
                    round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard,
-                   (sa.n > 2048 OR sb.n > 2048) AS approx
+                   (sa.n > {_MAX_SHINGLES} OR sb.n > {_MAX_SHINGLES})
+                       AS approx
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
@@ -1262,6 +1299,37 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_int": _ann_ivf_int_oracle(),
         "lsh_topk_int": _lsh_topk_int_oracle(),
         "clean_text_ascii": _clean_text_ascii_oracle(),
+        "sessions_batch": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch_us(ts)
+                               - lag(epoch_us(ts)) OVER (
+                                   PARTITION BY user_id ORDER BY ts)
+                              > CAST(3600 AS BIGINT) * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            ),
+            agg AS (
+              SELECT user_id, sid,
+                     min(ts) AS t0, max(ts) AS t1,
+                     count(*) AS n_events,
+                     round(sum(value), 2) AS sum_value
+              FROM s GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   n_events, sum_value
+            FROM agg
+            WHERE sid <> (SELECT max(a2.sid) FROM agg a2
+                          WHERE a2.user_id = agg.user_id)
+        """,
         "corpus_curation": f"""
             WITH t AS (
               SELECT doc_id, text,

@@ -95,6 +95,44 @@ def _hyperplane(seed: int, dim: int, table: int, bit: int) -> list[float]:
     return out
 
 
+def float_hyperplanes(n_tables: int, n_bits: int, dim: int,
+                      seed: int = 42) -> np.ndarray:
+    """(n_tables·n_bits) × dim float64 matrix; row t·n_bits+b = plane (t, b)."""
+    return np.asarray(
+        [_hyperplane(seed, dim, t, b)
+         for t in range(n_tables) for b in range(n_bits)],
+        dtype=np.float64,
+    )
+
+
+def _sign_codes_udf(spark, planes: np.ndarray, n_tables: int, n_bits: int):
+    """array<long> bucket codes (one per table) from ONE Arrow-batched
+    matmul against a once-per-executor broadcast plane matrix.
+
+    This replaces the former plan-literal expression tree — n_tables·n_bits
+    planes × dim literals plus one aggregate(zip_with) per plane compiled
+    straight into the plan, the same O(k·dim)-literal codegen blowup the
+    IVF codebook fix removed (at production dims, 768 × 32 planes ≈ 25k
+    literals).  Planes ship once per executor; per batch the work is a
+    single V @ Mᵀ.
+    """
+    bc = spark.sparkContext.broadcast(planes)
+
+    @pandas_udf("array<long>")
+    def codes(v: pd.Series) -> pd.Series:
+        M = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(x, dtype=M.dtype) for x in v])
+        signs = (V @ M.T) >= 0                      # B × (tables·bits)
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        by_table = signs.reshape(len(V), n_tables, n_bits)
+        out = (by_table * weights[None, None, :]).sum(axis=2)
+        return pd.Series([row.tolist() for row in out])
+
+    return codes
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -106,42 +144,32 @@ def lsh_bucketed_topk(
     n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH bucket join, exact re-rank in-bucket.
+    """Approximate top-k: sign-LSH bucket join, exact float-cosine re-rank
+    in-bucket.
 
-    The hyperplanes are deterministic literals compiled into the plan
-    (broadcast by value); the bucket id is a pure Column expression, so the
-    whole thing is three narrow projections + one equi-join.
+    Bucket codes come from :func:`_sign_codes_udf` — ONE Arrow-batched
+    float64 matmul against the once-per-executor broadcast plane matrix
+    (no plan literals), candidates meet in a bucket equi-join, never a
+    cross product.  Sign decisions use numpy's float64 dot rather than a
+    sequential Catalyst fold; the two can differ only when |dot| is within
+    summation-reordering noise of 0 (measured: zero bucket flips on the
+    test corpora), and the variant is rows-only checked anyway — the
+    engine-exact twin is :func:`lsh_topk_int`.
     """
-    def bucket_expr(vec):
-        tables = []
-        for t in range(n_tables):
-            bits = []
-            for b in range(n_bits):
-                plane = _hyperplane(seed, dim, t, b)
-                dot = F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(p) for p in plane]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                bits.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-            code = bits[0]
-            for x in bits[1:]:
-                code = code + x
-            tables.append(F.struct(F.lit(t).alias("t"), code.alias("code")))
-        return F.array(*tables)
-
-    base = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        F.explode(bucket_expr(F.col(vec_col))).alias("bk"),
-    ).select("vid", "v", F.col("bk.t").alias("t"), F.col("bk.code").alias("code"))
-
-    q = base.where(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "t", "code"
+    spark = emb.sparkSession
+    codes = _sign_codes_udf(
+        spark, float_hyperplanes(n_tables, n_bits, dim, seed),
+        n_tables, n_bits,
+    )
+    tagged = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).withColumn("codes", codes(F.col("v")))
+    base = tagged.select(
+        "vid", "v", F.posexplode("codes").alias("t", "code"))
+    q = (
+        tagged.where(F.col("vid").isin(query_ids))
+        .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"),
+                F.posexplode("codes").alias("t", "code"))
     )
     cands = (
         F.broadcast(q)
@@ -163,20 +191,31 @@ def lsh_bucketed_topk(
     )
 
 
-def nearest_cells_udf(spark, centroids, n_cells_out: int = 1,
-                      integer: bool = False):
-    """Vectorized cell assignment: pandas UDF returning the ``n_cells_out``
-    nearest centroid ids (squared L2, ties broken by lower cell id).
+def broadcast_codebook(spark, centroids, integer: bool = False):
+    """Ship a codebook once per executor as a Spark broadcast numpy matrix.
+    Callers that rebuild codebooks in a loop (the k-means trainer) should
+    ``destroy()`` each handle after its job completes — a k=2^16 × 768
+    codebook is hundreds of MB, and per-iteration broadcasts accumulate on
+    the driver and executors otherwise."""
+    dtype = np.int64 if integer else np.float64
+    return spark.sparkContext.broadcast(np.asarray(centroids, dtype=dtype))
 
-    The codebook ships ONCE per executor as a Spark broadcast numpy matrix
-    and the per-batch work is one Arrow-batched matmul — this replaces the
+
+def nearest_cells_from_broadcast(bc, n_cells_out: int = 1):
+    """Vectorized cell assignment over an existing broadcast codebook:
+    pandas UDF returning the ``n_cells_out`` nearest centroid ids
+    (squared L2, ties broken by lower cell id).
+
+    The per-batch work is one Arrow-batched matmul — this replaces the
     former plan-literal CASE chain, whose O(k·dim) literals blew up plan
     size and whole-stage codegen beyond k≈8 (a real IVF coarse quantizer is
-    k=2^10..2^16).  ``integer=True`` keeps every step in exact int64
-    (argsort over exact distances ⇒ bit-reproducible across engines).
+    k=2^10..2^16).  An int64 codebook keeps every step exact (argsort over
+    exact distances ⇒ bit-reproducible across engines).  The float path
+    uses the ||v||² − 2v·c + ||c||² expansion, which is not bit-identical
+    to a direct (v−c)² accumulation — catastrophic cancellation on
+    near-tie distances can flip the argmin cell, acceptable for the
+    approximate un-oracled float variants only.
     """
-    dtype = np.int64 if integer else np.float64
-    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=dtype))
     n = n_cells_out
 
     @pandas_udf("array<int>")
@@ -192,6 +231,14 @@ def nearest_cells_udf(spark, centroids, n_cells_out: int = 1,
         return pd.Series([row.tolist() for row in idx.astype(np.int32)])
 
     return nearest
+
+
+def nearest_cells_udf(spark, centroids, n_cells_out: int = 1,
+                      integer: bool = False):
+    """One-shot convenience: broadcast the codebook and build the
+    assignment UDF (see :func:`nearest_cells_from_broadcast`)."""
+    return nearest_cells_from_broadcast(
+        broadcast_codebook(spark, centroids, integer), n_cells_out)
 
 
 def int_hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = 42,
@@ -234,19 +281,7 @@ def lsh_topk_int(
     planes = int_hyperplanes(n_tables, n_bits, dim, seed, quant)
     # (n_tables*n_bits) × dim matrix; row t*n_bits+b = plane (t, b)
     P = np.asarray([p for tbl in planes for p in tbl], dtype=np.int64)
-    bc = spark.sparkContext.broadcast(P)
-
-    @pandas_udf("array<long>")
-    def codes(v: pd.Series) -> pd.Series:
-        M = bc.value
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        V = np.stack([np.asarray(x, dtype=np.int64) for x in v])
-        signs = (V @ M.T) >= 0                      # B × (tables*bits)
-        weights = (1 << np.arange(n_bits, dtype=np.int64))
-        by_table = signs.reshape(len(V), n_tables, n_bits)
-        out = (by_table * weights[None, None, :]).sum(axis=2)
-        return pd.Series([row.tolist() for row in out])
+    codes = _sign_codes_udf(spark, P, n_tables, n_bits)
 
     tagged = emb.select(
         F.col(id_col).alias("vid"),
@@ -293,6 +328,15 @@ def kmeans_centroids(
     per-dimension ``F.sum(x_i)`` fan-out meant dim agg columns — 768-dim
     would have been 768-wide agg state per row).  Returns plain Python
     lists (the coarse quantizer is tiny).
+
+    The per-iteration ``collect()`` pulls O(k·dim) partial sums to the
+    driver — the codebook must land on the driver anyway to be broadcast,
+    but at k=2^16 × 768 that is ~50M cells per iteration: this trainer is
+    an offline / moderate-k tool.  Production IVF serves queries from a
+    PRECOMPUTED codebook (``ivf_topk(codebook=...)`` /
+    ``ivf_topk_int``'s fixed codebook), never by retraining in the query
+    path.  Each iteration's broadcast is destroyed after its job
+    completes so n_iter × codebook bytes never accumulate.
     """
     spark = emb.sparkSession
     seeds = (
@@ -301,7 +345,8 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(n_iter):
-        assign = nearest_cells_udf(spark, centroids)
+        bc = broadcast_codebook(spark, centroids)
+        assign = nearest_cells_from_broadcast(bc)
         assigned = emb.select(
             F.col(vec_col).alias("v"),
             assign(F.col(vec_col))[0].alias("c"),
@@ -313,6 +358,7 @@ def kmeans_centroids(
                  F.count("*").alias("n"))
             .collect()
         )
+        bc.destroy(blocking=False)
         new = [list(c) for c in centroids]
         for r in stats:
             if r["n"] > 0:
@@ -330,17 +376,21 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     dim: int = 64,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means cells, probe the n_probe
     nearest cells per query, exact cosine re-rank inside probed cells.
 
     At 10^9 vectors the cell assignment is a narrow Arrow-batched matmul
     (no shuffle) against a once-per-executor broadcast codebook, and the
-    search touches n_probe/n_cells of the corpus.
+    search touches n_probe/n_cells of the corpus.  Pass ``codebook`` (a
+    PRECOMPUTED n_cells × dim list, e.g. from an offline
+    :func:`kmeans_centroids` run) to skip training in the query path —
+    the production mode; without it a k-means fit runs inline first.
     """
     spark = emb.sparkSession
-    cents = kmeans_centroids(emb, k=n_cells, id_col=id_col, vec_col=vec_col,
-                             dim=dim)
+    cents = codebook if codebook is not None else kmeans_centroids(
+        emb, k=n_cells, id_col=id_col, vec_col=vec_col, dim=dim)
     # ONE UDF pass computes the n_probe nearest cells; the corpus keeps
     # cell[0] (its home cell), queries explode all probes.  A neighbor
     # lives in exactly one cell, so a (query, neighbor) pair can match at

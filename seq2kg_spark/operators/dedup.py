@@ -138,6 +138,11 @@ def minhash_signatures(
     )
 
 
+# Default per-doc verification-set cap; the DuckDB oracle twin interpolates
+# this same constant so the `approx` flag can never silently drift from it.
+MAX_SHINGLES_DEFAULT = 2048
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -146,7 +151,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     k: int = 3,
     hash_fn: str = "md5",
-    max_shingles: int = 2048,
+    max_shingles: int = MAX_SHINGLES_DEFAULT,
 ) -> DataFrame:
     """MinHash/LSH near-dup detection: shingle → banded min-sig → bucket
     join → Jaccard verify.  Output: (doc_a, doc_b, jaccard ≥ threshold).

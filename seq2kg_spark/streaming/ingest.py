@@ -12,7 +12,7 @@ Structured Streaming pattern for rollup tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seq2kg_spark.sources.pages import PAGES_SCHEMA
@@ -110,6 +110,49 @@ def stream_dedup_pages(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_events_batch(events: DataFrame,
+                            gap_seconds: int = 1800) -> DataFrame:
+    """Batch twin of :func:`sessionize_events_stateful`'s availableNow
+    drain: lag-gap-cumsum sessionization in pure Spark SQL.
+
+    A drained stateful run emits every session CLOSED by a gap and leaves
+    each user's final session open in state, so the twin drops each user's
+    last session too.  Gaps compare in exact integer microseconds —
+    ``unix_micros`` ⇒ the same decisions as the stateful operator's
+    ``(ts - last).total_seconds() > gap`` at microsecond timestamps.
+    Being pure SQL, this twin doubles as the hash-exact driver oracle for
+    the inherently rows-only streaming path
+    (``tests/test_streaming_multimodal.py`` asserts drain == twin).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # timestamp_diff works directly on TIMESTAMP_NTZ (the parquet default)
+    # with no session-timezone interpretation — exact integer microseconds
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w),
+                              F.col("ts"))
+    sess = (
+        events.select("user_id", "ts", "value")
+        .withColumn(
+            "new_s",
+            F.when(gap_us > F.lit(int(gap_seconds) * 1_000_000), 1)
+            .otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    agg = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    open_sid = agg.groupBy("user_id").agg(F.max("sid").alias("open_sid"))
+    return (
+        agg.join(open_sid, "user_id")
+        .where(F.col("sid") != F.col("open_sid"))
+        .select("user_id", "session_start", "session_end", "n_events",
+                "sum_value")
+    )
 
 
 def sessionize_events_stateful(

@@ -44,3 +44,18 @@ def test_cap_default_does_not_change_small_corpus(spark):
     b = sorted(map(tuple, minhash_lsh_pairs(df, threshold=0.3,
                                             max_shingles=10**6).collect()))
     assert a == b
+
+
+def test_oracle_corpus_under_cap(spark):
+    """Exactness precondition of the dedup_minhash_lsh driver oracle: the
+    DuckDB twin computes jaccard on uncapped sets, so every sf0.01 doc must
+    stay under MAX_SHINGLES_DEFAULT (the twin interpolates the same
+    constant for its `approx` flag)."""
+    import pyspark.sql.functions as F
+
+    from seq2kg_spark.operators.dedup import MAX_SHINGLES_DEFAULT, shingle_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = shingle_table(docs, "doc_id", "text", 3)
+    mx = sh.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert mx <= MAX_SHINGLES_DEFAULT

@@ -164,3 +164,40 @@ def test_stateful_sessionization(spark, tmp_path):
     # only CLOSED sessions are emitted: user 1's first session closed by
     # the 2h gap; the open sessions stay in state
     assert (1, 3, 3.0) in got
+
+def test_stream_drain_equals_batch_twin(spark):
+    """The availableNow drain of the stateful sessionizer must emit exactly
+    the sessions the pure-SQL batch twin computes (closed sessions only —
+    each user's final session stays open in state).  The twin doubles as
+    the hash-exact `sessions_batch` driver oracle."""
+    from seq2kg_spark.streaming.ingest import (
+        sessionize_events_batch,
+        sessionize_events_stateful,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .select("user_id", "ts", "value")
+    )
+    q = (
+        sessionize_events_stateful(stream, gap_seconds=3600,
+                                   idle_timeout=False)
+        .writeStream.format("memory").queryName("drain_vs_batch")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    drained = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.sum_value, 6))
+        for r in spark.sql("select * from drain_vs_batch").collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.sum_value, 6))
+        for r in sessionize_events_batch(ev, gap_seconds=3600).collect()
+    }
+    assert drained == batch and len(batch) > 0
