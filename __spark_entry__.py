@@ -580,6 +580,57 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_features_int(spark, sf_dir):
+    """Multimodal decode→feature path, hash-exact: payload pixel/sample
+    streams are md5-derived (`encode_fake_*_md5`), so a DuckDB twin can
+    regenerate every byte and the integer bin counts match bit-for-bit —
+    the exact upgrade of the rows-only RandomState-payload
+    ``media_features``.  Same decode/dispatch/salted-repartition plumbing."""
+    import pandas as pd
+
+    from seq2kg_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                   encode_fake_audio_md5,
+                                                   encode_fake_image_md5,
+                                                   media_features)
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") < 200))
+
+    def to_media(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 10 == 3:  # kind skew: ~10% audio, larger payloads
+                    n = 4096 + (d * 13) % 4096
+                    rows.append({
+                        "url": f"media://{d}", "kind": "audio",
+                        "payload": encode_fake_audio_md5(16000, n, seed=d),
+                        "meta": {"width": None, "height": None,
+                                 "sample_rate": 16000, "n_frames": n,
+                                 "format": "x-fake-audio"},
+                    })
+                    continue
+                w, h = 8 + d % 24, 8 + (d * 7) % 24
+                rows.append({
+                    "url": f"media://{d}", "kind": "image",
+                    "payload": encode_fake_image_md5(w, h, seed=d),
+                    "meta": {"width": w, "height": h, "sample_rate": None,
+                             "n_frames": None, "format": "x-fake"},
+                })
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(to_media, schema=MEDIA_SCHEMA)
+    feats = media_features(media, num_partitions=8, normalize=False)
+    return feats.select(
+        "url", "kind", "width", "height",
+        F.array_join(F.transform("feature", lambda x: x.cast("string")),
+                     " ").alias("hist"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
@@ -802,6 +853,83 @@ def _clean_text_ascii_oracle() -> str:
     """
 
 
+# Deterministic single-pass literal substitutions that seed the ASCII corpus
+# with every Unicode character T1's literal steps handle (curly quotes,
+# em/en-dash, ellipsis, both mojibake sequences).  Spark's `replace` and
+# DuckDB's `replace` are both single-pass left-to-right, and no replacement
+# string contains a LATER search key, so the injected text is byte-identical
+# across engines.  "â€“" deliberately includes the reference quirk: its final
+# char is “ (U+201C), which the earlier “→' "' literal step consumes, so the
+# dedicated â€“ rule never fires — in the reference either
+# (triples_from_text.py:78-101 applies the quote literals first).
+_UNICODE_INJECTIONS: list[tuple[str, str]] = [
+    ("a ", "a’ "),            # ’  curly apostrophe → '
+    ("o ", "o — "),           # —  em-dash → ' - '
+    ("u ", "u… "),            # …  ellipsis → .
+    ("i ", "i â€¦ "),   # â€¦  mojibake ellipsis → .
+    ("e ", "e â€“ "),   # â€“  mojibake en-dash (quirk above)
+    ("s ", "s – "),           # ' – ' → ' . '
+    ("n ", "n” "),            # ”  curly close quote → ' "'
+    ("t ", "“t "),            # “  curly open quote → ' "'
+]
+
+
+def q_clean_text_unicode(spark, sf_dir):
+    """T1 Catalyst chain over Unicode-seeded text — exercises every literal
+    Unicode step with a hash-exact DuckDB twin (the ASCII-subset row leaves
+    them as no-ops: the sf corpus is pure ASCII).  The base docs keep the
+    ASCII guard so the regex-class steps stay dialect-identical; the
+    injections then add exactly the characters the literal steps consume."""
+    from seq2kg_spark.functions.text_clean import clean_text_expr
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").rlike(_ASCII_DOC_RE))
+    t = F.col("text")
+    for search, repl in _UNICODE_INJECTIONS:
+        t = F.replace(t, F.lit(search), F.lit(repl))
+    return docs.select("doc_id", clean_text_expr(t).alias("clean"))
+
+
+def _clean_text_unicode_oracle() -> str:
+    """DuckDB twin of q_clean_text_unicode: the same injections via
+    single-pass replace(), then the FULL T1 chain (the ASCII twin skips the
+    Unicode-literal steps as no-ops) with Java-dialect patterns mapped to
+    RE2 as in the ASCII twin — on ASCII-plus-injected text the \\w/\\s
+    classes never touch a non-ASCII character (injections are
+    space-delimited), so dropping (?U) is exact."""
+    from seq2kg_spark.functions.text_clean import (_JAVA_STRIP_CLASS,
+                                                   _LITERAL_STEPS,
+                                                   _RESPACE_STEPS)
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "text"
+    for search, repl in _UNICODE_INJECTIONS:
+        expr = f"replace({expr}, '{q(search)}', '{q(repl)}')"
+    steps: list[tuple[str, str]] = [
+        (f"^{_JAVA_STRIP_CLASS}+|{_JAVA_STRIP_CLASS}+$", ""),
+        ("—", " - "),
+    ]
+    for _py, java_pat, _pyrep, java_rep in _RESPACE_STEPS:
+        steps.append((java_pat.replace("(?U)", ""),
+                      java_rep.replace("$", "\\")))
+    for lit, _pyrep, java_rep in _LITERAL_STEPS:
+        steps.append((lit, java_rep))
+    steps += [("\\|", ", "), ("\\t", " "),
+              ("…", "."), ("â€¦", "."),
+              ("â€“", "-"),
+              ("\\s+", " "), ("^\\s+|\\s+$", ""),
+              (" – ", " . "), ("^\\s+|\\s+$", "")]
+    for pat, rep in steps:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    return f"""
+        SELECT doc_id, {expr} AS clean
+        FROM documents
+        WHERE regexp_matches(text, '{_ASCII_DOC_RE}')
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -834,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "dedup_retention": q_dedup_retention,
         "media_features": q_media_features,
+        "media_features_int": q_media_features_int,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -845,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_candidate_filtering": q_kg_candidate_filtering,
         "clean_text": q_clean_text,
         "clean_text_ascii": q_clean_text_ascii,
+        "clean_text_unicode": q_clean_text_unicode,
         "streaming_sessions": q_streaming_sessions,
         "sessions_batch": q_sessions_batch,
     }
@@ -999,6 +1129,76 @@ def _ann_ivf_int_oracle(n_probe: int = 2, k: int = 5) -> str:
                      AS rank
           FROM cand)
         WHERE rank <= {k}
+    """
+
+
+def _media_features_int_oracle() -> str:
+    """DuckDB twin of q_media_features_int: regenerates the md5-derived
+    pixel/sample streams byte-for-byte (byte[i] = digest byte 0 of
+    md5('{d}:{i}'); audio sample = bytes 0..1 − 32768) and rebuilds the
+    16-bin integer histograms.  Image bucket = byte // 16 = the value of
+    the FIRST hex digit; audio bucket = least(|s| // 2048, 15) — numpy's
+    closed right edge puts |−32768| = 32768 in bin 15 too."""
+    hv = "strpos('0123456789abcdef', substr(m, {p}, 1)) - 1"
+    return f"""
+        WITH docs AS (
+          SELECT doc_id AS d FROM documents WHERE doc_id < 200
+        ),
+        bins AS (SELECT unnest(generate_series(0, 15)) AS b),
+        img AS (
+          SELECT d, 8 + d % 24 AS w, 8 + (d * 7) % 24 AS h
+          FROM docs WHERE d % 10 <> 3
+        ),
+        img_i AS (
+          SELECT d, w, h, unnest(generate_series(0, w * h - 1)) AS i
+          FROM img
+        ),
+        img_b AS (
+          SELECT d, {hv.format(p=1)} AS bucket
+          FROM (SELECT d, md5(d || ':' || i) AS m FROM img_i)
+        ),
+        img_g AS (
+          SELECT d, bucket, count(*) AS c FROM img_b GROUP BY 1, 2
+        ),
+        img_feat AS (
+          SELECT i.d, i.w, i.h,
+                 string_agg(CAST(coalesce(g.c, 0) AS VARCHAR),
+                            ' ' ORDER BY bins.b) AS hist
+          FROM img i CROSS JOIN bins
+          LEFT JOIN img_g g ON g.d = i.d AND g.bucket = bins.b
+          GROUP BY 1, 2, 3
+        ),
+        aud AS (
+          SELECT d, 4096 + (d * 13) % 4096 AS n
+          FROM docs WHERE d % 10 = 3
+        ),
+        aud_i AS (
+          SELECT d, n, unnest(generate_series(0, n - 1)) AS i FROM aud
+        ),
+        aud_b AS (
+          SELECT d, least(abs(({hv.format(p=1)}) * 4096
+                              + ({hv.format(p=2)}) * 256
+                              + ({hv.format(p=3)}) * 16
+                              + ({hv.format(p=4)}) - 32768) // 2048,
+                          15) AS bucket
+          FROM (SELECT d, md5(d || ':' || i) AS m FROM aud_i)
+        ),
+        aud_g AS (
+          SELECT d, bucket, count(*) AS c FROM aud_b GROUP BY 1, 2
+        ),
+        aud_feat AS (
+          SELECT a.d, a.n,
+                 string_agg(CAST(coalesce(g.c, 0) AS VARCHAR),
+                            ' ' ORDER BY bins.b) AS hist
+          FROM aud a CROSS JOIN bins
+          LEFT JOIN aud_g g ON g.d = a.d AND g.bucket = bins.b
+          GROUP BY 1, 2
+        )
+        SELECT 'media://' || d AS url, 'image' AS kind,
+               w AS width, h AS height, hist
+        FROM img_feat
+        UNION ALL
+        SELECT 'media://' || d, 'audio', n, 1, hist FROM aud_feat
     """
 
 
@@ -1299,6 +1499,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_int": _ann_ivf_int_oracle(),
         "lsh_topk_int": _lsh_topk_int_oracle(),
         "clean_text_ascii": _clean_text_ascii_oracle(),
+        "clean_text_unicode": _clean_text_unicode_oracle(),
+        "media_features_int": _media_features_int_oracle(),
         "sessions_batch": """
             WITH e AS (
               SELECT user_id, ts, value,

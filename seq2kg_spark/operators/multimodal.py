@@ -61,6 +61,40 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
             + samples.tobytes())
 
 
+def _md5_stream_bytes(seed: int, n: int) -> bytes:
+    """n deterministic payload bytes: byte[i] = first digest byte of
+    md5(f"{seed}:{i}") — the same cross-engine primitive the dedup oracles
+    build on, so a SQL twin can regenerate the exact stream.  (splitmix64,
+    used for the ANN hyperplanes, would need wrap-around 64-bit
+    multiplication, which DuckDB BIGINT raises on rather than wraps.)"""
+    import hashlib
+
+    return bytes(hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+                 for i in range(n))
+
+
+def encode_fake_image_md5(width: int, height: int, seed: int) -> bytes:
+    """x-fake image whose pixel stream is md5-derived (oracle-exact twin
+    of :func:`encode_fake_image`, same container/decoder)."""
+    return (FAKE_MAGIC + struct.pack("<II", width, height)
+            + _md5_stream_bytes(seed, width * height))
+
+
+def encode_fake_audio_md5(sample_rate: int, n_samples: int,
+                          seed: int) -> bytes:
+    """x-fake-audio waveform whose samples are md5-derived: sample[i] =
+    d[0]·256 + d[1] − 32768 over the first two digest bytes (oracle-exact
+    twin of :func:`encode_fake_audio`, same container/decoder)."""
+    import hashlib
+
+    samples = np.empty(n_samples, dtype=np.int16)
+    for i in range(n_samples):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        samples[i] = np.int16(d[0] * 256 + d[1] - 32768)
+    return (FAKE_AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples)
+            + samples.tobytes())
+
+
 def _decode(payload: bytes, fmt: str) -> np.ndarray:
     """2-D uint8 array for images, 1-D int16 waveform for audio."""
     if fmt == "x-fake":
@@ -81,7 +115,8 @@ def _decode(payload: bytes, fmt: str) -> np.ndarray:
 
 
 def media_features(media: DataFrame, n_bins: int = 16,
-                   num_partitions: int | None = None) -> DataFrame:
+                   num_partitions: int | None = None,
+                   normalize: bool = True) -> DataFrame:
     """decode → per-item feature vector.
 
     Images: intensity histogram over [0, 256); audio: |amplitude|
@@ -90,6 +125,10 @@ def media_features(media: DataFrame, n_bins: int = 16,
     feature UDF sees whole Arrow batches; payload-size skew (a video is
     10^4× a thumbnail, and kinds are skewed too) is flattened by the same
     salted size-bucketed repartition as the text path.
+
+    ``normalize=False`` emits the RAW integer bin counts (array<long>)
+    instead of count/size ratios — pure integer arithmetic a SQL oracle
+    can reproduce bit-for-bit over md5-derived payloads.
     """
     from seq2kg_spark.operators.repartition import salted_size_repartition
 
@@ -115,7 +154,8 @@ def media_features(media: DataFrame, n_bins: int = 16,
                     hist, _ = np.histogram(np.abs(arr.astype(np.int32)),
                                            bins=n_bins, range=(0, 32768))
                     width, height = arr.shape[0], 1
-                feat = (hist / max(arr.size, 1)).astype("float32")
+                feat = (hist if not normalize
+                        else (hist / max(arr.size, 1)).astype("float32"))
                 rows["url"].append(url)
                 rows["kind"].append(kind)
                 rows["feature"].append(feat.tolist())
@@ -129,8 +169,9 @@ def media_features(media: DataFrame, n_bins: int = 16,
                 "height": pd.Series(rows["height"], dtype="int32"),
             })
 
+    feature_type = "array<float>" if normalize else "array<long>"
     return balanced.mapInPandas(
-        fn, schema="url string, kind string, feature array<float>, "
+        fn, schema=f"url string, kind string, feature {feature_type}, "
                    "width int, height int"
     )
 

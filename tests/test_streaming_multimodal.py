@@ -201,3 +201,41 @@ def test_stream_drain_equals_batch_twin(spark):
         for r in sessionize_events_batch(ev, gap_seconds=3600).collect()
     }
     assert drained == batch and len(batch) > 0
+
+def test_md5_payload_encoders_roundtrip(spark):
+    """md5-derived payloads ride the SAME container/decoder as the
+    RandomState ones; normalize=False emits integer bin counts that sum to
+    the decoded size (the hash-exact media_features_int preconditions)."""
+    import hashlib
+
+    import numpy as np
+
+    from seq2kg_spark.operators.multimodal import (
+        _decode,
+        encode_fake_audio_md5,
+        encode_fake_image_md5,
+        media_features,
+    )
+
+    img = _decode(encode_fake_image_md5(4, 3, seed=7), "x-fake")
+    assert img.shape == (3, 4)
+    assert img[0, 0] == hashlib.md5(b"7:0").digest()[0]
+    wav = _decode(encode_fake_audio_md5(16000, 5, seed=9), "x-fake-audio")
+    d = hashlib.md5(b"9:2").digest()
+    assert wav[2] == np.int16(d[0] * 256 + d[1] - 32768)
+
+    rows = [
+        ("media://a", "image", encode_fake_image_md5(6, 6, 1),
+         {"width": 6, "height": 6, "sample_rate": None, "n_frames": None,
+          "format": "x-fake"}),
+        ("media://b", "audio", encode_fake_audio_md5(16000, 64, 2),
+         {"width": None, "height": None, "sample_rate": 16000,
+          "n_frames": 64, "format": "x-fake-audio"}),
+    ]
+    from seq2kg_spark.operators.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.url: r for r in media_features(media, normalize=False)
+           .collect()}
+    assert sum(got["media://a"].feature) == 36
+    assert sum(got["media://b"].feature) == 64
+    assert got["media://b"].width == 64 and got["media://b"].height == 1
