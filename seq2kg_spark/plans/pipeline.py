@@ -1,8 +1,10 @@
-"""End-to-end KG construction plan: pages → triples → canonical graph.
+"""End-to-end KG construction plan: pages → curated → triples → graph.
 
 The full Seq2KG-equivalent flow with checkpoint/lineage at each stage
 boundary (north rule).  Stages:
 
+0. curate    — language gate + quality gate + exact-dedup retention (the
+               corpus_curation composition) over the raw pages.
 1. extract   — lang filter → salted size-bucketed repartition → T1 clean →
                rule-based extraction (mapInPandas) → triples table.
 2. canonical — mention LSH blocking → connected components → nodes/edges.
@@ -18,10 +20,45 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from seq2kg_spark.operators.canonicalize import canonicalize
 from seq2kg_spark.operators.extract import extract_triples
 from seq2kg_spark.operators.lineage import run_stage_checkpointed
+
+
+def curate_stage_fn(full_pages: DataFrame):
+    """Stage-0 corpus curation: keep English, quality-'ok', first-copy
+    pages (min url per exact text hash wins).
+
+    Dedup retention is a GLOBAL decision but resume is per-bucket, so the
+    keeper table is built from the FULL input (closure), never from the
+    pending-bucket slice — otherwise a resumed run could keep a duplicate
+    whose first copy sits in an already-committed bucket.  min-url-per-md5
+    is deterministic, so recomputing it on resume reproduces the killed
+    run's decisions exactly; the recompute is one hash-keyed aggregation,
+    cheap next to extraction.  The gates are pure Catalyst.
+    """
+    from seq2kg_spark.functions import text_stats as TS
+
+    def gate(df: DataFrame) -> DataFrame:
+        return df.where(
+            (F.col("lang") == "en")
+            & (TS.quality_label(F.col("text")) == "ok")
+        )
+
+    keep = gate(full_pages).groupBy(F.md5("text").alias("_h")).agg(
+        F.min("url").alias("_keep_url"))
+
+    def fn(bucketed: DataFrame) -> DataFrame:
+        g = gate(bucketed).withColumn("_h", F.md5("text"))
+        return (
+            g.join(keep, "_h")
+            .where(F.col("url") == F.col("_keep_url"))
+            .drop("_h", "_keep_url")
+        )
+
+    return fn
 
 
 def run_kg_pipeline(
@@ -32,10 +69,22 @@ def run_kg_pipeline(
     num_partitions: int | None = None,
     canon_threshold: float = 0.55,
 ) -> dict:
-    """Run the resumable two-stage pipeline; returns stage reports + paths."""
+    """Run the resumable three-stage pipeline; returns stage reports + paths."""
     spark = pages.sparkSession
+    curated_path = os.path.join(workdir, "curated")
     triples_path = os.path.join(workdir, "triples")
     lineage_path = os.path.join(workdir, "lineage")
+
+    report_curate = run_stage_checkpointed(
+        pages,
+        curate_stage_fn(pages),
+        stage="curate",
+        out_path=curated_path,
+        lineage_path=lineage_path,
+        key_col="url",
+        n_buckets=n_buckets,
+    )
+    pages = spark.read.parquet(curated_path).drop("bucket")
 
     def extract_stage(bucketed: DataFrame) -> DataFrame:
         t = extract_triples(
@@ -67,8 +116,10 @@ def run_kg_pipeline(
     nodes.write.mode("overwrite").parquet(nodes_path)
     edges.write.mode("overwrite").parquet(edges_path)
     return {
+        "curate": report_curate,
         "extract": report_extract,
         "paths": {
+            "curated": curated_path,
             "triples": triples_path,
             "nodes": nodes_path,
             "edges": edges_path,

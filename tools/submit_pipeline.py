@@ -32,6 +32,8 @@ def main() -> None:
     nodes = spark.read.parquet(report["paths"]["nodes"]).count()
     edges = spark.read.parquet(report["paths"]["edges"]).count()
     print(json.dumps({
+        "curated_buckets": report["curate"]["processed"],
+        "curated_skipped": report["curate"]["skipped"],
         "processed_buckets": report["extract"]["processed"],
         "skipped_buckets": report["extract"]["skipped"],
         "triples": triples, "nodes": nodes, "edges": edges,
