@@ -119,7 +119,8 @@ VERB_STEMS = {
     "undergo", "withdraw", "withstand", "overcome", "overlook",
     "handle", "crush", "lurk", "hint", "bow", "glance", "stare", "bespoke",
     "face", "shutter",
-    "going", "doing", "dying", "tying", "owing", "suing", "lift", "stagger",
+    "going", "doing", "using", "dying", "tying", "owing", "suing", "lift",
+    "stagger", "behold", "optimize", "utilize",
     "arise", "arose", "arisen", "born", "dig", "dive", "feature",
     "produce", "draw", "cook", "specialize", "ensure", "expand",
     "deliver", "tinker", "relate",
@@ -225,7 +226,8 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "only",
                  "then", "here", "there", "very", "too", "just", "still",
                  "already", "soon", "often", "never", "always", "again",
-                 "not", "n't", "more", "most", "later", "once", "apparently",
+                 "not", "n't", "more", "most", "later", "longer", "once",
+                 "apparently",
                  "together", "instead", "however", "meanwhile", "perhaps", "rather",
                  "forward", "ahead", "else", "quite", "thus", "somewhere",
                  "anywhere", "everywhere", "nowhere", "pretty",
@@ -236,7 +238,8 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
 
 ADJECTIVES_EXTRA = {"ready", "formal", "biggest", "largest", "smallest",
                     "enough", "sure", "nice", "ordinary", "straight", "insane",
-                    "wild", "crazy",
+                    "wild", "crazy", "tough", "clear", "unclear",
+                    "closer", "harder", "leaner", "cheaper", "faster",
                     "newest", "oldest", "fastest", "slowest", "highest",
                     "lowest", "longest", "shortest", "strongest", "best",
                     "worst", "richest", "cheapest", "finest", "coolest",
@@ -432,6 +435,11 @@ def _verb_suffix(lower: str) -> str | None:
             stem = lower[:-strip]
             if stem in VERB_STEMS or stem + "e" in VERB_STEMS:
                 return suf
+    # y→ie inflections of -y stems: 'applies'/'applied' → 'apply'
+    for infl, cat in (("ies", "es"), ("ied", "ed")):
+        if lower.endswith(infl) and len(lower) >= 5:
+            if lower[:-3] + "y" in VERB_STEMS:
+                return cat
     for bare in _strip_prefix(lower):
         if bare in AUXILIARIES:
             continue
@@ -690,6 +698,9 @@ def _assign_pos(toks: list[Tok]) -> None:
                          and (nxt_lower == "to"
                               or nxt_lower in DETERMINERS
                               or nxt_lower in ADPOSITIONS))
+                and not (_verb_suffix(lower) in ("s", "es")
+                         and nxt_lower in ("it", "them", "him", "her",
+                                           "us", "me"))
                 and not (_verb_suffix(lower) in ("s", "es")
                          and prev_lower == ","
                          and (nxt_lower in ADPOSITIONS
