@@ -222,6 +222,16 @@ VERB_STEMS = {
     "yield",
 }
 
+# bare stems that are (practically) never nouns — exempt from the
+# verb-object demotions ("utilized include wild berries" keeps a finite
+# 'include'; spaCy never tags these NN)
+_NEVER_NOUN_VERBS = {"include", "exist", "occur", "seem", "tend", "become",
+                     "remain", "consist"}
+
+# true un- verbs whose -ed form stays verbal (vs adjectival "unpainted")
+_UN_VERBS = {"unveiled", "unleashed", "unlocked", "uncovered", "unfolded",
+             "unwrapped", "unplugged", "undid", "unearthed"}
+
 ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "only",
                  "then", "here", "there", "very", "too", "just", "still",
@@ -671,6 +681,13 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif ("-" in lower and len(lower) > 4
                 and lower.rsplit("-", 1)[-1].endswith(("ed", "ing"))):
             t.pos = "ADJ"  # "much-anticipated", "award-winning"
+        elif (lower.startswith("un") and not lower.startswith("under")
+                and lower.endswith("ed") and len(lower) > 6
+                and lower not in _UN_VERBS
+                and _verb_suffix(lower[2:]) is not None):
+            # negative un- participles are adjectival ("unpainted bits",
+            # "unnamed sources"); true un- verbs (unveiled, ...) excepted
+            t.pos = "ADJ"
         elif lower == "used" and nxt_lower == "to":
             # the "used to <verb>" idiom is always verbal
             t.pos = "VERB"
@@ -715,6 +732,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 and prev_lower not in AUXILIARIES):
             suf = _verb_suffix(lower)
             if (suf == "base" and lower not in _IRREGULAR_PAST
+                    and lower not in _NEVER_NOUN_VERBS
                     and prev_pos == "VERB"
                     and prev_lower not in AUXILIARIES
                     and prev_lower not in ("help", "helps", "helped",
@@ -727,6 +745,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # infinitives only follow help/let/make/perception verbs
                 t.pos = "NOUN"
             elif (suf == "base" and lower not in _IRREGULAR_PAST
+                    and lower not in _NEVER_NOUN_VERBS
                     and prev_pos == "NOUN"
                     and not prev_lower.endswith("s")
                     and prev_lower not in _IRREGULAR_PLURALS
@@ -799,6 +818,15 @@ def _assign_pos(toks: list[Tok]) -> None:
                      or nxt_lower in ("its", "their", "my", "your", "our",
                                       "his", "her"))):
             # preposition + gerund + object: "for fixing this car"
+            t.pos = "VERB"
+        elif (lower.endswith("ing") and len(lower) >= 6
+                and lower not in _ING_NOUNS
+                and prev_pos in ("NOUN", "PROPN", "PRON")
+                and (nxt_lower in DETERMINERS
+                     or nxt_lower in ("its", "their", "my", "your", "our",
+                                      "his", "her"))):
+            # reduced relative: noun + gerund + NP object ("companies
+            # envisioning a future", "cars using a series") — spaCy VBG
             t.pos = "VERB"
         elif (lower.endswith("ing") and len(lower) >= 6
                 and lower not in _ING_NOUNS
@@ -1305,6 +1333,16 @@ def _assign_deps(toks: list[Tok]) -> None:
                         subj_assigned = True
                 elif prev is not None and prev.pos == "ADP":
                     t.dep = "pobj"
+                elif (prev is not None and prev.pos == "VERB"
+                        and prev.lemma in ("is", "are", "was", "were",
+                                           "s", "re")
+                        and t.i >= 2
+                        and toks[t.i - 2].text.lower() == "there"):
+                    # existential: "there are plenty of companies" — the
+                    # nominal after the BE is attr even when the sentence
+                    # root landed on another clause's verb (spaCy roots the
+                    # existential clause; attr gates R5's of-merge)
+                    t.dep = "attr"
                 elif root is not None and root.pos == "VERB" and t.i > root.i \
                         and not obj_after_root:
                     # predicate nominal after a bare copula is 'attr' in
