@@ -248,7 +248,7 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
 
 ADJECTIVES_EXTRA = {"ready", "formal", "biggest", "largest", "smallest",
                     "enough", "sure", "nice", "ordinary", "straight", "insane",
-                    "wild", "crazy", "tough", "clear", "unclear",
+                    "wild", "crazy", "tough", "clear", "unclear", "fresh",
                     "closer", "harder", "leaner", "cheaper", "faster",
                     "newest", "oldest", "fastest", "slowest", "highest",
                     "lowest", "longest", "shortest", "strongest", "best",
@@ -719,6 +719,8 @@ def _assign_pos(toks: list[Tok]) -> None:
                          and nxt_lower in ("it", "them", "him", "her",
                                            "us", "me"))
                 and not (_verb_suffix(lower) in ("s", "es")
+                         and prev_lower in ("which", "who", "but"))
+                and not (_verb_suffix(lower) in ("s", "es")
                          and prev_lower == ","
                          and (nxt_lower in ADPOSITIONS
                               or nxt_lower in DETERMINERS))
@@ -738,7 +740,10 @@ def _assign_pos(toks: list[Tok]) -> None:
                     and prev_lower not in ("help", "helps", "helped",
                                            "let", "lets", "make", "makes",
                                            "made", "see", "saw", "hear",
-                                           "watch", "go", "come")
+                                           "watch", "go", "come",
+                                           # clitic modals: "'ll debut",
+                                           # "'d expect" take a verb
+                                           "ll", "d")
                     and not prev_lower.endswith("'t")):
                 # a bare stem right after a content verb is its object
                 # ("doing research", "offer takeout") — serial bare
@@ -782,7 +787,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # help make it"; and an -s form after a numeral subject
                 # taking a determiner object is finite: "level 2 gives the")
                 t.pos = "NOUN"
-            elif suf in ("s", "es") and (
+            elif suf in ("s", "es") and prev_lower != "but" and (
                     (prev_pos not in ("PRON", "PROPN", "NOUN")
                      and not (prev_pos == "ADV"
                               and prev2_pos in ("PRON", "PROPN", "NOUN")))
@@ -962,7 +967,7 @@ _LY_NOUNS = {"family", "assembly", "supply", "rally", "ally", "belly",
              "folly", "dolly", "melancholy", "philly", "italy"}
 
 # -ing forms that are (almost) always nouns in web prose
-_ING_NOUNS = {"morning", "evening", "thing", "something", "anything",
+_ING_NOUNS = {"marketing", "morning", "evening", "thing", "something", "anything",
               "everything", "nothing", "king", "ring", "wing", "spring",
               "string", "sibling", "ceiling", "clothing", "lightning",
               "darling", "dumpling", "duckling", "earring", "railing",
