@@ -723,7 +723,8 @@ def _assign_pos(toks: list[Tok]) -> None:
                 and not (_verb_suffix(lower) in ("s", "es")
                          and prev_lower == ","
                          and (nxt_lower in ADPOSITIONS
-                              or nxt_lower in DETERMINERS))
+                              or nxt_lower in DETERMINERS
+                              or nxt_lower == "to"))
                 and not (prev_pos == "VERB"
                          and prev_lower in ("s", "re", "ve", "m", "ll"))
                 and prev_lower not in ("i", "we", "they", "he", "she",
@@ -733,8 +734,14 @@ def _assign_pos(toks: list[Tok]) -> None:
                                        "not")
                 and prev_lower not in AUXILIARIES):
             suf = _verb_suffix(lower)
-            if (suf == "base" and lower not in _IRREGULAR_PAST
+            if (suf == "ing" and lower == "marketing"
+                    and prev_lower not in AUXILIARIES):
+                # 'marketing' is attributive/nominal in the goldens
+                # ("sales and marketing head", "automated marketing system")
+                t.pos = "NOUN"
+            elif (suf == "base" and lower not in _IRREGULAR_PAST
                     and lower not in _NEVER_NOUN_VERBS
+                    and not lower.endswith("ing")
                     and prev_pos == "VERB"
                     and prev_lower not in AUXILIARIES
                     and prev_lower not in ("help", "helps", "helped",
@@ -787,7 +794,10 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # help make it"; and an -s form after a numeral subject
                 # taking a determiner object is finite: "level 2 gives the")
                 t.pos = "NOUN"
-            elif suf in ("s", "es") and prev_lower != "but" and (
+            elif suf in ("s", "es") and prev_lower != "but" and not (
+                    prev_lower == ","
+                    and (nxt_lower == "to" or nxt_lower in ADPOSITIONS
+                         or nxt_lower in DETERMINERS)) and (
                     (prev_pos not in ("PRON", "PROPN", "NOUN")
                      and not (prev_pos == "ADV"
                               and prev2_pos in ("PRON", "PROPN", "NOUN")))
@@ -967,7 +977,7 @@ _LY_NOUNS = {"family", "assembly", "supply", "rally", "ally", "belly",
              "folly", "dolly", "melancholy", "philly", "italy"}
 
 # -ing forms that are (almost) always nouns in web prose
-_ING_NOUNS = {"marketing", "morning", "evening", "thing", "something", "anything",
+_ING_NOUNS = {"morning", "evening", "thing", "something", "anything",
               "everything", "nothing", "king", "ring", "wing", "spring",
               "string", "sibling", "ceiling", "clothing", "lightning",
               "darling", "dumpling", "duckling", "earring", "railing",
