@@ -438,6 +438,10 @@ def _strip_prefix(lower: str) -> tuple[str, ...]:
 def _verb_suffix(lower: str) -> str | None:
     """'base' | 'ing' | 'ed' | 'es' | 's' | None.  Derivational prefixes
     (re-, dis-, over-, ...) are transparent: 'discontinue' → 'continue'."""
+    if lower in ADJECTIVES_EXTRA and lower not in VERB_STEMS:
+        # lexical adjectives win over derived verb readings ('unclear'
+        # would otherwise strip its un- prefix onto the verb 'clear')
+        return None
     if lower in VERB_STEMS or lower in AUXILIARIES:
         return "base"
     for suf, strip in (("ing", 3), ("ed", 2), ("es", 2), ("s", 1)):
@@ -688,6 +692,10 @@ def _assign_pos(toks: list[Tok]) -> None:
             # negative un- participles are adjectival ("unpainted bits",
             # "unnamed sources"); true un- verbs (unveiled, ...) excepted
             t.pos = "ADJ"
+        elif lower == "push" and prev_raw == ",":
+            # "..., push button ignition, ..." — the reference parse tags
+            # bare 'push' after a comma as VB (pred), never a compound noun
+            t.pos = "VERB"
         elif lower == "used" and nxt_lower == "to":
             # the "used to <verb>" idiom is always verbal
             t.pos = "VERB"
@@ -721,7 +729,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 and not (_verb_suffix(lower) in ("s", "es")
                          and prev_lower in ("which", "who", "but"))
                 and not (_verb_suffix(lower) in ("s", "es")
-                         and prev_lower == ","
+                         and prev_raw == ","
                          and (nxt_lower in ADPOSITIONS
                               or nxt_lower in DETERMINERS
                               or nxt_lower == "to"))
@@ -795,7 +803,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # taking a determiner object is finite: "level 2 gives the")
                 t.pos = "NOUN"
             elif suf in ("s", "es") and prev_lower != "but" and not (
-                    prev_lower == ","
+                    prev_raw == ","
                     and (nxt_lower == "to" or nxt_lower in ADPOSITIONS
                          or nxt_lower in DETERMINERS)) and (
                     (prev_pos not in ("PRON", "PROPN", "NOUN")
@@ -854,7 +862,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 and lower not in ("hundred", "indeed", "naked", "sacred",
                                   "wicked", "beloved", "rugged")
                 and (prev_pos in ("NOUN", "PROPN", "NUM", "PRON")
-                     or (prev_lower == ","
+                     or (prev_raw == ","
                          and prev2_pos in ("NOUN", "PROPN", "NUM")))):
             # unknown -ed form right after a nominal → finite verb
             # ("the CR 25 predated the FF"); also after an appositive's
