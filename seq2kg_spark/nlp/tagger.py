@@ -29,7 +29,8 @@ from dataclasses import dataclass, field
 # --------------------------------------------------------------------------
 
 DETERMINERS = {"a", "an", "the", "this", "that", "these", "those", "some",
-               "any", "each", "every", "no", "another", "both", "either"}
+               "any", "each", "every", "no", "another", "both", "either",
+               "all"}
 
 ADPOSITIONS = {
     "of", "in", "at", "on", "for", "with", "from", "by", "about", "over",
@@ -250,6 +251,10 @@ ADJECTIVES_EXTRA = {"ready", "formal", "biggest", "largest", "smallest",
                     "enough", "sure", "nice", "ordinary", "straight", "insane",
                     "wild", "crazy", "tough", "clear", "unclear", "fresh",
                     "closer", "harder", "leaner", "cheaper", "faster",
+                    "aware", "able", "due", "worth", "keen", "proud",
+                    "glad", "capable", "familiar", "sketchy",
+                    "responsible", "latter", "contrary", "moderate",
+                    "infatuated",
                     "newest", "oldest", "fastest", "slowest", "highest",
                     "lowest", "longest", "shortest", "strongest", "best",
                     "worst", "richest", "cheapest", "finest", "coolest",
@@ -766,6 +771,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 t.pos = "NOUN"
             elif (suf == "base" and lower not in _IRREGULAR_PAST
                     and lower not in _NEVER_NOUN_VERBS
+                    and not lower.endswith("ing")
                     and prev_pos == "NOUN"
                     and not prev_lower.endswith("s")
                     and prev_lower not in _IRREGULAR_PLURALS
