@@ -241,6 +241,7 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "apparently",
                  "together", "instead", "however", "meanwhile", "perhaps", "rather",
                  "forward", "ahead", "else", "quite", "thus", "somewhere",
+                 "aside", "afar",
                  "anywhere", "everywhere", "nowhere", "pretty",
                  "even", "when", "where", "why", "how", "yet", "ever", "back",
                  "maybe", "otherwise", "somehow", "anyway", "moreover",
@@ -666,6 +667,14 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "ADV"
         elif lower in ADPOSITIONS:
             t.pos = "ADP"
+        elif (t.sent_start and w[:1].isupper() and len(lower) > 4
+                and lower.endswith(("ed", "ing"))
+                and lower not in _ING_NOUNS
+                and nxt_lower in ADPOSITIONS):
+            # fronted participial phrase: "Powered by ...", "Ranging from
+            # ..." — a pred with an empty left window, exactly what the
+            # reference emits (nothing)
+            t.pos = "VERB"
         elif w[:1].isupper() and (not t.sent_start or lower in midcap or
                                   not _is_verb_form(lower)):
             # capitalized → proper noun unless a sentence-initial verb/etc.
