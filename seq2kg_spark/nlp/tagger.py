@@ -585,10 +585,8 @@ def _assign_pos(toks: list[Tok]) -> None:
             # possessive pronouns open NPs like determiners ("your photo",
             # "its shooting brake style") — spaCy PRP$ / dep poss
             t.pos = "DET"
-        elif lower in ("least", "most") and prev_raw.lower() == "at" and \
-                (nxt_lower and (nxt_lower[0].isdigit()
-                                or nxt_lower == "one")):
-            t.pos = "ADV"  # "at least one", "at most 50" quantifiers
+        elif lower in ("least", "most") and prev_raw.lower() == "at":
+            t.pos = "ADV"  # "at least (one|the styling|...)" — never a node
         elif lower == "such" and nxt_lower == "as":
             t.pos = "ADV"  # "such as" — 'such' stays out of the left chunk
         elif lower == "such":
@@ -742,6 +740,8 @@ def _assign_pos(toks: list[Tok]) -> None:
                                            "us", "me"))
                 and not (_verb_suffix(lower) in ("s", "es")
                          and prev_lower in ("which", "who", "but"))
+                and not (_verb_suffix(lower) in ("ed", "ing")
+                         and prev_pos == "ADV")
                 and not (_verb_suffix(lower) in ("s", "es")
                          and prev_raw == ","
                          and (nxt_lower in ADPOSITIONS
