@@ -568,8 +568,13 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "ADV"  # interjections stay out of chunks
         elif lower in ("here", "there"):
             t.pos = "ADV"  # locative/existential — never part of an NP
-        elif lower in {"ve", "re", "ll", "m"} and prev_raw == "'":
-            t.pos = "VERB"  # auxiliary clitic: 've / 're / 'll / 'm
+        elif lower in {"ve", "re", "ll", "m", "d"} and prev_raw == "'":
+            # auxiliary clitics: the reference parse never includes the
+            # bare stubs in merged predicates (gold has 'been keeping',
+            # 'say', 'be' — never "'ve been keeping"/"'d say"/"'ll be");
+            # ADV keeps them out of both verb groups and chunks, like the
+            # negation stub 't
+            t.pos = "ADV"
         elif lower in ("own", "open") and (
                 prev_raw == "'" or prev_raw in ("'s", "\u2019s")
                 or (prev_pos == "PART" and prev_lower in ("'s", "\u2019s", "s"))
