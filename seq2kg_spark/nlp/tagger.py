@@ -119,6 +119,8 @@ VERB_STEMS = {
     "suppose", "threaten", "tolerate", "warn", "accompany", "acknowledge",
     "undergo", "withdraw", "withstand", "overcome", "overlook",
     "handle", "crush", "lurk", "hint", "bow", "glance", "stare", "bespoke",
+    "spit", "strive", "lavish", "electrify", "snatch", "tease", "dub",
+    "embroider", "sicken", "crumble", "wrap", "poise",
     "face", "shutter",
     "going", "doing", "using", "dying", "tying", "owing", "suing", "lift",
     "stagger", "behold", "optimize", "utilize",
@@ -454,6 +456,10 @@ def _verb_suffix(lower: str) -> str | None:
         if lower.endswith(suf) and len(lower) > strip + 2:
             stem = lower[:-strip]
             if stem in VERB_STEMS or stem + "e" in VERB_STEMS:
+                return suf
+            # doubled final consonant: 'stopped'/'stopping' → 'stop'
+            if (suf in ("ed", "ing") and len(stem) >= 3
+                    and stem[-1] == stem[-2] and stem[:-1] in VERB_STEMS):
                 return suf
     # y→ie inflections of -y stems: 'applies'/'applied' → 'apply'
     for infl, cat in (("ies", "es"), ("ied", "ed")):
