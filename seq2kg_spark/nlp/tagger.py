@@ -453,7 +453,9 @@ def _verb_suffix(lower: str) -> str | None:
     if lower in VERB_STEMS or lower in AUXILIARIES:
         return "base"
     for suf, strip in (("ing", 3), ("ed", 2), ("es", 2), ("s", 1)):
-        if lower.endswith(suf) and len(lower) > strip + 2:
+        # 'ed' admits 4-letter pasts of 3-letter -e stems ('died', 'owed')
+        if lower.endswith(suf) and len(lower) > strip + (1 if suf == "ed"
+                                                         else 2):
             stem = lower[:-strip]
             if stem in VERB_STEMS or stem + "e" in VERB_STEMS:
                 return suf
