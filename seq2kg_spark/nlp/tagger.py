@@ -753,6 +753,10 @@ def _assign_pos(toks: list[Tok]) -> None:
                                            "us", "me"))
                 and not (_verb_suffix(lower) in ("s", "es")
                          and prev_lower in ("which", "who", "but"))
+                and not (_verb_suffix(lower) == "base"
+                         and prev_lower in ("dare", "dares", "dared",
+                                            "help", "helps", "helped",
+                                            "let", "lets"))
                 and not (_verb_suffix(lower) in ("ed", "ing")
                          and prev_pos == "ADV")
                 and not (_verb_suffix(lower) in ("s", "es")
@@ -783,6 +787,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                                            "let", "lets", "make", "makes",
                                            "made", "see", "saw", "hear",
                                            "watch", "go", "come",
+                                           "dare", "dares", "dared",
                                            # clitic modals: "'ll debut",
                                            # "'d expect" take a verb
                                            "ll", "d")
@@ -1664,11 +1669,24 @@ def _demote_orphan_infinitives(toks: list[Tok]) -> None:
                 and toks[i - 1].pos == "PART"
                 and (i < 2 or toks[i - 2].pos != "VERB")):
             toks[i].pos = "X"
+        elif (toks[i].pos == "NOUN"
+                and _verb_suffix(toks[i].text.lower()) == "base"
+                and toks[i - 1].text.lower() == "to"
+                and toks[i - 1].pos == "PART"
+                and (i < 2 or toks[i - 2].pos != "VERB")):
+            # noun-biased base form after infinitival 'to' ('to point out
+            # the errors') — still an infinitive, still invisible
+            toks[i].pos = "X"
         elif (toks[i].pos == "VERB" and toks[i].tag in ("VB", "VBG")
                 and toks[i - 1].pos == "X"):
             # verb chain continuing a demoted infinitive ('to continue
             # outselling the Mustang') — the whole phrase is invisible
             toks[i].pos = "X"
+        elif (toks[i].text.lower() in ("up", "out", "off", "down", "away")
+                and toks[i].pos == "ADP" and toks[i - 1].pos == "X"):
+            # particle of a demoted infinitive ('to point out the errors')
+            # is invisible with it — not a standalone predicate
+            toks[i].pos = "ADV"
 
 
 def analyze(text: str) -> Analysis:
