@@ -243,7 +243,7 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "apparently",
                  "together", "instead", "however", "meanwhile", "perhaps", "rather",
                  "forward", "ahead", "else", "quite", "thus", "somewhere",
-                 "aside", "afar",
+                 "aside", "afar", "further", "almost",
                  "anywhere", "everywhere", "nowhere", "pretty",
                  "even", "when", "where", "why", "how", "yet", "ever", "back",
                  "maybe", "otherwise", "somehow", "anyway", "moreover",
@@ -257,7 +257,8 @@ ADJECTIVES_EXTRA = {"ready", "formal", "biggest", "largest", "smallest",
                     "aware", "able", "due", "worth", "keen", "proud",
                     "glad", "capable", "familiar", "sketchy",
                     "responsible", "latter", "contrary", "moderate",
-                    "infatuated",
+                    "infatuated", "underway", "soft", "matter-of-fact",
+                    "tongue-in-cheek",
                     "newest", "oldest", "fastest", "slowest", "highest",
                     "lowest", "longest", "shortest", "strongest", "best",
                     "worst", "richest", "cheapest", "finest", "coolest",
