@@ -601,6 +601,13 @@ def _assign_pos(toks: list[Tok]) -> None:
             t.pos = "DET"
         elif lower in ("least", "most") and prev_raw.lower() == "at":
             t.pos = "ADV"  # "at least (one|the styling|...)" — never a node
+        elif (lower == "as" and nxt_lower == "well"
+                and ti + 2 < len(toks)
+                and toks[ti + 2].text.lower() == "as"):
+            # 'as well as': spaCy tags the FIRST 'as' RB — only the second
+            # is an ADP predicate, so the right-hand conjunct becomes the
+            # object ("spoiler , as well as wheels" → (spoiler, as, wheels))
+            t.pos = "ADV"
         elif lower == "such" and nxt_lower == "as":
             t.pos = "ADV"  # "such as" — 'such' stays out of the left chunk
         elif lower == "such":
