@@ -1386,7 +1386,16 @@ def _assign_deps(toks: list[Tok]) -> None:
                 t.dep = "aux" if (root is not None and t.i < root.i
                                   and t.lemma in AUXILIARIES) else "conj"
             elif t.pos in ("NOUN", "PROPN", "PRON", "NUM"):
-                if root is not None and root.pos == "VERB" and t.i < root.i:
+                if (prev is not None and prev.pos == "VERB"
+                        and prev.lemma in ("is", "are", "was", "were",
+                                           "s", "re")
+                        and t.i >= 2
+                        and toks[t.i - 2].text.lower() == "there"):
+                    # existential: "there are plenty of companies" — the
+                    # nominal after the BE is attr even when the sentence
+                    # root lies elsewhere (attr gates R5's of-merge)
+                    t.dep = "attr"
+                elif root is not None and root.pos == "VERB" and t.i < root.i:
                     # last nominal before the root is the subject head;
                     # earlier ones are compounds of it
                     later = [x for x in nominal if t.i < x.i < root.i]
@@ -1397,16 +1406,6 @@ def _assign_deps(toks: list[Tok]) -> None:
                         subj_assigned = True
                 elif prev is not None and prev.pos == "ADP":
                     t.dep = "pobj"
-                elif (prev is not None and prev.pos == "VERB"
-                        and prev.lemma in ("is", "are", "was", "were",
-                                           "s", "re")
-                        and t.i >= 2
-                        and toks[t.i - 2].text.lower() == "there"):
-                    # existential: "there are plenty of companies" — the
-                    # nominal after the BE is attr even when the sentence
-                    # root landed on another clause's verb (spaCy roots the
-                    # existential clause; attr gates R5's of-merge)
-                    t.dep = "attr"
                 elif root is not None and root.pos == "VERB" and t.i > root.i \
                         and not obj_after_root:
                     # predicate nominal after a bare copula is 'attr' in
