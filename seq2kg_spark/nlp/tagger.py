@@ -1386,14 +1386,12 @@ def _assign_deps(toks: list[Tok]) -> None:
                 t.dep = "aux" if (root is not None and t.i < root.i
                                   and t.lemma in AUXILIARIES) else "conj"
             elif t.pos in ("NOUN", "PROPN", "PRON", "NUM"):
-                if (prev is not None and prev.pos == "VERB"
-                        and prev.lemma in ("is", "are", "was", "were",
-                                           "s", "re")
-                        and t.i >= 2
-                        and toks[t.i - 2].text.lower() == "there"):
-                    # existential: "there are plenty of companies" — the
-                    # nominal after the BE is attr even when the sentence
-                    # root lies elsewhere (attr gates R5's of-merge)
+                if _left_is_be(toks, t.i):
+                    # predicate nominal: the nearest verb left of the
+                    # nominal (looking over DET/ADJ/ADV premodifiers) is a
+                    # BE-copula — attr even when the sentence root lies in
+                    # another clause ("human error is the main killer of
+                    # cars": attr gates R5's of-merge)
                     t.dep = "attr"
                 elif root is not None and root.pos == "VERB" and t.i < root.i:
                     # last nominal before the root is the subject head;
@@ -1446,6 +1444,17 @@ _COREF_HYPERNYMS = {"chain", "show", "app", "vehicle", "car", "truck",
                     "episode", "concept", "biker", "owner", "hoverboard",
                     "artist", "outbreak", "package", "state", "city",
                     "prototype"}
+
+
+def _left_is_be(toks, i: int) -> bool:
+    """Walk left over the nominal's premodifiers; True when the first
+    content token is a BE-form verb (predicate-nominal detector)."""
+    j = i - 1
+    while j >= 0 and (toks[j].pos in ("DET", "ADJ", "ADV", "NUM")
+                      or toks[j].text.lower() in ("the", "a", "an")):
+        j -= 1
+    return (j >= 0 and toks[j].pos == "VERB"
+            and toks[j].lemma in ("is", "are", "was", "were", "s", "re"))
 
 
 def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
