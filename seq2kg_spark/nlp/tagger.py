@@ -633,7 +633,10 @@ def _assign_pos(toks: list[Tok]) -> None:
                                    and nxt_lower not in DETERMINERS
                                    and nxt_lower not in PRONOUNS
                                    and not nxt_lower.endswith("s")
-                                   and nxt2 in DETERMINERS)) else "ADP"
+                                   and (nxt2 in DETERMINERS
+                                        or nxt2 in ("its", "their", "his",
+                                                    "her", "my", "your",
+                                                    "our")))) else "ADP"
         elif lower == "that" and prev_pos in ("NOUN", "PROPN") and (
                 _is_verb_form(nxt_lower) or nxt_lower in AUXILIARIES
                 or (nxt_lower == "'" and ti + 2 < len(toks)
