@@ -1159,7 +1159,13 @@ def _entity_spans(toks: list[Tok]) -> list[tuple[int, int]]:
                     "about", "nearly", "over", "around", "almost", "some",
                     "approximately", "roughly"):
                 start = m - 1
-            add(start, m + 1)
+            end = m + 1
+            if (start < m and m + 1 < n and toks[m + 1].pos == "NOUN"
+                    and toks[m + 1].text[:1].islower()):
+                # modified quantity + unit: spaCy's CARDINAL/QUANTITY span
+                # covers "approximately 200 hp" / "nearly four decades"
+                end = m + 2
+            add(start, end)
     while i < n:
         if toks[i].pos == "PROPN":
             j = i + 1
