@@ -847,6 +847,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # taking a determiner object is finite: "level 2 gives the")
                 t.pos = "NOUN"
             elif suf in ("s", "es") and prev_lower != "but" and not (
+                    prev_pos == "NUM" and nxt_lower in DETERMINERS) and not (
                     prev_raw == ","
                     and (nxt_lower == "to" or nxt_lower in ADPOSITIONS
                          or nxt_lower in DETERMINERS)) and (
