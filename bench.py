@@ -90,6 +90,11 @@ def main() -> None:
         "kg_m4_decode": E.q_kg_m4_decode,
         "lsh_topk_int": E.q_lsh_topk_int,
         "streaming_sessions": E.q_streaming_sessions,
+        # round-4 additions
+        "sessions_batch": E.q_sessions_batch,
+        "media_features_int": E.q_media_features_int,
+        "clean_text_unicode": E.q_clean_text_unicode,
+        "lsh_bucketed_topk": E.q_lsh_bucketed_topk,
     }
 
     timings: dict[str, float] = {}
