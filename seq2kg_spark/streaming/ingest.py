@@ -146,9 +146,12 @@ def sessionize_events_batch(events: DataFrame,
         F.count("*").alias("n_events"),
         F.sum("value").alias("sum_value"),
     )
-    open_sid = agg.groupBy("user_id").agg(F.max("sid").alias("open_sid"))
+    # each user's LAST session is the open one — a window max over the
+    # already-aggregated (small) sessions avoids a second scan of the
+    # events table that a groupBy+join formulation would re-plan
+    open_w = Window.partitionBy("user_id")
     return (
-        agg.join(open_sid, "user_id")
+        agg.withColumn("open_sid", F.max("sid").over(open_w))
         .where(F.col("sid") != F.col("open_sid"))
         .select("user_id", "session_start", "session_end", "n_events",
                 "sum_value")

@@ -47,11 +47,18 @@ def main() -> None:
         "dedup_minhash_lsh: narrow shingle stage (array_distinct before "
         "explode — no dedup shuffle), banded min-agg, bucket self-join, "
         "set-intersect verification": E.q_dedup_minhash_lsh(spark, sf_dir),
-        "ann_ivf_int: codebook as plan literals (no centroid shuffle), "
-        "cell assignment is a narrow projection, probe join broadcasts "
-        "the 5-query side — wall cost is one-time whole-stage codegen of "
-        "the 8x64-literal distance expressions, not data movement":
+        "ann_ivf_int: cell assignment is an ArrowEvalPython matmul over a "
+        "once-per-executor broadcast numpy codebook (no plan literals), "
+        "probe join broadcasts the 5-query side":
             E.q_ann_ivf_int(spark, sf_dir),
+        "lsh_bucketed_topk (float): bucket codes from the same broadcast "
+        "matmul (ArrowEvalPython) as the integer variant — de-literalized "
+        "in round 4; bucket equi-join, never a cross product":
+            E.q_lsh_bucketed_topk(spark, sf_dir),
+        "sessions_batch: lag-gap-cumsum over one user-keyed window "
+        "partitioning reused by both window functions and the session "
+        "aggregation — one exchange on user_id":
+            E.q_sessions_batch(spark, sf_dir),
         "kg_m4_decode: one narrow MapInPandas over per-doc token arrays "
         "(no shuffle at all — decode is per-row)":
             E.q_kg_m4_decode(spark, sf_dir),
