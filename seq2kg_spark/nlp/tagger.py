@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache as _lru_cache
 
 # --------------------------------------------------------------------------
 # Lexicons (closed classes + common verbs). Deterministic, frozen.
@@ -444,6 +445,7 @@ def _strip_prefix(lower: str) -> tuple[str, ...]:
     )
 
 
+@_lru_cache(maxsize=1 << 16)
 def _verb_suffix(lower: str) -> str | None:
     """'base' | 'ing' | 'ed' | 'es' | 's' | None.  Derivational prefixes
     (re-, dis-, over-, ...) are transparent: 'discontinue' → 'continue'."""
