@@ -1713,8 +1713,10 @@ def _demote_orphan_infinitives(toks: list[Tok]) -> None:
         elif (toks[i].text.lower() in ("up", "out", "off", "down", "away")
                 and toks[i].pos == "ADP" and toks[i - 1].pos == "X"):
             # particle of a demoted infinitive ('to point out the errors')
-            # is invisible with it — not a standalone predicate
+            # is invisible with it — not a standalone predicate (tag too:
+            # the assembly's predicate role keys on the PTB tag 'IN')
             toks[i].pos = "ADV"
+            toks[i].tag = "RB"
 
 
 def analyze(text: str) -> Analysis:
