@@ -610,6 +610,8 @@ def _assign_pos(toks: list[Tok]) -> None:
             # is an ADP predicate, so the right-hand conjunct becomes the
             # object ("spoiler , as well as wheels" → (spoiler, as, wheels))
             t.pos = "ADV"
+        elif lower == "subject" and nxt_lower == "to":
+            t.pos = "ADJ"  # "are subject to X" — predicative idiom, not a node
         elif lower == "such" and nxt_lower == "as":
             t.pos = "ADV"  # "such as" — 'such' stays out of the left chunk
         elif lower == "such":
@@ -839,6 +841,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # "after seeing the video" — spaCy VBG
                 t.pos = "VERB"
             elif (prev_pos in ("DET", "ADP", "NUM", "ADJ")
+                    and prev_lower != "all"
                     and (prev_lower not in ("that", "which", "who")
                          or prev_pos == "DET")
                     and not (prev_pos == "NUM" and suf in ("s", "es")
