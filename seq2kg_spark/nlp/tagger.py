@@ -659,6 +659,7 @@ def _assign_pos(toks: list[Tok]) -> None:
         elif lower == "that" and prev_pos == "VERB" and (
                 nxt_lower in DETERMINERS or nxt_lower in PRONOUNS
                 or nxt_lower in AUXILIARIES
+                or nxt_lower in ("when", "if", "once", "unless", "while")
                 or (ti + 1 < len(toks)
                     and toks[ti + 1].text[:1].isupper())):
             # complementizer: "is that the..." (PTB tags it IN);
