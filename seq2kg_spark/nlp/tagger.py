@@ -244,7 +244,7 @@ ADVERBS_EXTRA = {"also", "recently", "presently", "fully", "well", "now",
                  "apparently",
                  "together", "instead", "however", "meanwhile", "perhaps", "rather",
                  "forward", "ahead", "else", "quite", "thus", "somewhere",
-                 "aside", "afar", "further", "almost",
+                 "aside", "afar", "further", "almost", "albeit",
                  "anywhere", "everywhere", "nowhere", "pretty",
                  "even", "when", "where", "why", "how", "yet", "ever", "back",
                  "maybe", "otherwise", "somehow", "anyway", "moreover",
