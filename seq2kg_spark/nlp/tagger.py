@@ -1567,6 +1567,15 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
         if lower in ("he", "she", "it", "they"):
             if not _subject_position(i):
                 continue
+            if lower == "it" and i + 2 < n and toks[i + 1].text == "'" \
+                    and toks[i + 2].text.lower() == "s":
+                j = i + 3
+                while j < n and toks[j].pos == "ADV":
+                    j += 1
+                if j < n and toks[j].pos == "ADJ":
+                    # extraposition/weather 'it' ("it ' s finally cool
+                    # enough") — no referent; unresolved pronouns drop
+                    continue
             want_plural = lower == "they"
             best = None
             best_proper = None
