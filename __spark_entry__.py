@@ -808,6 +808,25 @@ def q_sessions_batch(spark, sf_dir):
     )
 
 
+def q_window_counts_batch(spark, sf_dir):
+    """Batch twin of the watermarked streaming window rollup: only windows
+    whose END the final watermark (max ts − 2 h) passed — append-mode
+    emission semantics in pure SQL, hash-exact against a DuckDB twin and
+    pytest-asserted equal to the availableNow drain."""
+    from seq2kg_spark.streaming.ingest import windowed_event_counts_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts_batch(ev)
+    return out.select(
+        F.date_format("window_start",
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end",
+                      "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type", "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 _ASCII_DOC_RE = "^[\\x20-\\x7e\\n\\t]*$"  # printable ASCII + \n\t (no \x0b/\f/\r:
 # the only chars where Java (?U)\s and RE2 \s could disagree with Python)
 
@@ -977,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text_unicode": q_clean_text_unicode,
         "streaming_sessions": q_streaming_sessions,
         "sessions_batch": q_sessions_batch,
+        "window_counts_batch": q_window_counts_batch,
     }
 
 
@@ -1501,6 +1521,22 @@ def oracle_sql() -> dict[str, str]:
         "clean_text_ascii": _clean_text_ascii_oracle(),
         "clean_text_unicode": _clean_text_unicode_oracle(),
         "media_features_int": _media_features_int_oracle(),
+        "window_counts_batch": """
+            WITH wm AS (
+              SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events
+            ),
+            agg AS (
+              SELECT date_trunc('hour', ts) AS ws, event_type,
+                     count(*) AS n, round(sum(value), 2) AS sum_value
+              FROM events GROUP BY 1, 2
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(ws + INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, n, sum_value
+            FROM agg, wm
+            WHERE ws + INTERVAL 1 HOUR <= wm.w
+        """,
         "sessions_batch": """
             WITH e AS (
               SELECT user_id, ts, value,

@@ -92,6 +92,7 @@ def main() -> None:
         "streaming_sessions": E.q_streaming_sessions,
         # round-4 additions
         "sessions_batch": E.q_sessions_batch,
+        "window_counts_batch": E.q_window_counts_batch,
         "media_features_int": E.q_media_features_int,
         "clean_text_unicode": E.q_clean_text_unicode,
         "lsh_bucketed_topk": E.q_lsh_bucketed_topk,

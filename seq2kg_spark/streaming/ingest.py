@@ -79,6 +79,40 @@ def windowed_event_counts(
     )
 
 
+def windowed_event_counts_batch(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Batch twin of :func:`windowed_event_counts`'s availableNow drain.
+
+    In append mode a watermarked window is emitted only once the final
+    watermark (max event time − delay) passes its END, so the twin keeps
+    exactly the windows with ``window_end <= max(ts) − watermark``.  The
+    threshold rides along as a broadcast 1-row aggregate — no driver
+    action, no second scan materialization beyond the tiny max().  Pure
+    SQL ⇒ doubles as the hash-exact driver oracle for the watermark
+    semantics (``tests/test_streaming_multimodal.py`` asserts drain ==
+    twin).
+    """
+    out = (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    thr = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {watermark}")).alias("wm"))
+    return (
+        out.crossJoin(F.broadcast(thr))
+        .where(F.col("window_end") <= F.col("wm"))
+        .drop("wm")
+    )
+
+
 def stream_dedup_pages(
     pages_stream: DataFrame,
     out_dir: str,

@@ -239,3 +239,44 @@ def test_md5_payload_encoders_roundtrip(spark):
     assert sum(got["media://a"].feature) == 36
     assert sum(got["media://b"].feature) == 64
     assert got["media://b"].width == 64 and got["media://b"].height == 1
+
+def test_windowed_counts_drain_equals_batch_twin(spark, tmp_path):
+    """availableNow drain of the watermarked tumbling-window rollup must
+    emit exactly the windows the batch twin computes (append mode emits a
+    window only once the final watermark passes its end)."""
+    from seq2kg_spark.streaming.ingest import (
+        windowed_event_counts,
+        windowed_event_counts_batch,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    import pyspark.sql.functions as F
+
+    # watermarks require TIMESTAMP (not the parquet NTZ default): cast on
+    # BOTH sides so window bounds line up
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .select(F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "value")
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory").queryName("wc_drain")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    drained = {
+        (r.window_start, r.window_end, r.event_type, r.n,
+         round(r.sum_value, 6))
+        for r in spark.sql("select * from wc_drain").collect()
+    }
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    batch = {
+        (r.window_start, r.window_end, r.event_type, r.n,
+         round(r.sum_value, 6))
+        for r in windowed_event_counts_batch(ev).collect()
+    }
+    assert drained == batch and len(batch) > 0
