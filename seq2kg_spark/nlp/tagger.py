@@ -1551,7 +1551,7 @@ def _coref_pairs(toks: list[Tok], ent_spans: list[tuple[int, int]],
     for s, e, mention in cands:
         low = mention.lower()
         first = seen_lower.get(low)
-        if (first is not None and first == low
+        if (first is not None and first != mention
                 and mention[:1].isupper()
                 and mention.split()[0].lower() in ("the", "this", "that")):
             pairs.append([mention, first])
