@@ -96,6 +96,12 @@ def main() -> None:
         "media_features_int": E.q_media_features_int,
         "clean_text_unicode": E.q_clean_text_unicode,
         "lsh_bucketed_topk": E.q_lsh_bucketed_topk,
+        # steady-state extraction: the headline kg_extract_triples is the
+        # session's FIRST job and absorbs every cold-start cost (JVM JIT,
+        # Arrow init, python-worker fork, package-zip broadcast); this
+        # second, warm run is the per-executor throughput a long-running
+        # cluster actually sustains (the north-rule docs/sec figure)
+        "kg_extract_warm": kg_extract,
     }
 
     timings: dict[str, float] = {}
@@ -115,6 +121,7 @@ def main() -> None:
         extra_timings[name] = round(time.monotonic() - t0, 3)
 
     extract_dps = round(n_pages / timings["kg_extract_triples"], 2)
+    extract_dps_warm = round(n_pages / extra_timings["kg_extract_warm"], 2)
     spark.stop()
 
     print(
@@ -129,6 +136,7 @@ def main() -> None:
                     "cpus": cpus,
                     "rows": rows,
                     "kg_extract_docs_per_sec": extract_dps,
+                    "kg_extract_docs_per_sec_warm": extract_dps_warm,
                     "kg_extract_corpus": f"prose:{n_pages}",
                     "extra_queries": extra_timings,
                 },
