@@ -32,3 +32,31 @@ def test_extract_filters_language(spark, pages):
                .select("url").collect()]
     if de_urls:
         assert t.where(F.col("url").isin(de_urls)).count() == 0
+
+
+def test_extract_adversarial_inputs(spark):
+    """Nulls, empty text, control bytes, emoji, CJK, and a pathological
+    5000-sentence doc must not crash the operator or poison the batch —
+    at 100 TB every one of these WILL appear in the crawl."""
+    big = "The engine drives the wheels . " * 5000
+    rows = [
+        ("u0", None, None, None, "en"),
+        ("u1", None, None, "", "en"),
+        ("u2", None, None, "\x00\x01\x02 binary junk \x00", "en"),
+        ("u3", None, None, "I love this car \U0001F697\U0001F525 so much .", "en"),
+        ("u4", None, None, "この車はとても速いです。 engines are fast .", "en"),
+        ("u5", None, None, big, "en"),
+        ("u6", None, None, "Toyota released the new car and drivers love it .",
+         "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    out = extract_triples(pages, num_partitions=4)
+    got = out.collect()
+    # no crash, no null parts, and the normal doc still yields triples
+    assert all(r.subj and r.pred and r.obj for r in got)
+    assert any(r.url == "u6" for r in got)
+    # the pathological doc is bounded, not hung (collect() returning at
+    # all proves it); nothing from the null/empty docs
+    assert not any(r.url in ("u0", "u1") for r in got)
