@@ -762,11 +762,15 @@ def q_streaming_sessions(spark, sf_dir):
     # drained (pending processing-time timeouts would spin empty batches)
     sessions = sessionize_events_stateful(stream, gap_seconds=3600,
                                           idle_timeout=False)
-    # ONE deterministic workdir, wiped before each run: the returned
-    # DataFrame reads the output lazily (the driver collects after this
-    # function returns), so the files must outlive the call — reuse-and-wipe
-    # bounds disk to a single run instead of a fresh mkdtemp per invocation.
-    work = os.path.join(tempfile.gettempdir(), "seq2kg_stream_sessions")
+    # Per-PROCESS workdir, wiped before each run: the returned DataFrame
+    # reads the output lazily (the driver collects after this function
+    # returns), so the files must outlive the call — reuse-and-wipe bounds
+    # disk to one run per process. Keying by PID keeps concurrent bench /
+    # correctness processes (this project's documented co-tenant workflow)
+    # from deleting each other's in-flight sink/checkpoint, which with the
+    # explicit read schema below would silently read back as 0 rows.
+    work = os.path.join(tempfile.gettempdir(),
+                        f"seq2kg_stream_sessions_{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     q = (
         sessions.writeStream.format("parquet")

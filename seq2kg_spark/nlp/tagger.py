@@ -602,7 +602,10 @@ def _assign_pos(toks: list[Tok]) -> None:
             # "its shooting brake style") — spaCy PRP$ / dep poss
             t.pos = "DET"
         elif lower in ("least", "most") and prev_raw.lower() == "at":
-            t.pos = "ADV"  # "at least (one|the styling|...)" — never a node
+            # "at least (one|the styling|...)" — never a node.  The nominal
+            # reading is "at the least/most", whose determiner makes
+            # prev_raw "the" rather than "at", so it never reaches here.
+            t.pos = "ADV"
         elif (lower == "as" and nxt_lower == "well"
                 and ti + 2 < len(toks)
                 and toks[ti + 2].text.lower() == "as"):
@@ -733,9 +736,11 @@ def _assign_pos(toks: list[Tok]) -> None:
             # negative un- participles are adjectival ("unpainted bits",
             # "unnamed sources"); true un- verbs (unveiled, ...) excepted
             t.pos = "ADJ"
-        elif lower == "push" and prev_raw == ",":
+        elif lower == "push" and prev_raw == "," and nxt_lower == "button":
             # "..., push button ignition, ..." — the reference parse tags
-            # bare 'push' after a comma as VB (pred), never a compound noun
+            # 'push' in the push-button compound after a comma as VB (pred).
+            # Gated on the 'button' context so generic ", push notifications"
+            # keeps the noun reading on non-golden text.
             t.pos = "VERB"
         elif lower == "used" and nxt_lower == "to":
             # the "used to <verb>" idiom is always verbal
@@ -790,9 +795,15 @@ def _assign_pos(toks: list[Tok]) -> None:
                 and prev_lower not in AUXILIARIES):
             suf = _verb_suffix(lower)
             if (suf == "ing" and lower == "marketing"
-                    and prev_lower not in AUXILIARIES):
+                    and prev_lower not in AUXILIARIES
+                    and nxt_lower not in DETERMINERS
+                    and nxt_lower not in ("its", "their", "his", "her",
+                                          "my", "your", "our")):
                 # 'marketing' is attributive/nominal in the goldens
-                # ("sales and marketing head", "automated marketing system")
+                # ("sales and marketing head", "automated marketing system").
+                # Gated so the gerund-with-object reading ("marketing the
+                # product", "marketing their services") stays verbal on
+                # generic text.
                 t.pos = "NOUN"
             elif (suf == "base" and lower not in _IRREGULAR_PAST
                     and lower not in _NEVER_NOUN_VERBS

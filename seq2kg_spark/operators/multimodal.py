@@ -61,16 +61,26 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
             + samples.tobytes())
 
 
-def _md5_stream_bytes(seed: int, n: int) -> bytes:
-    """n deterministic payload bytes: byte[i] = first digest byte of
-    md5(f"{seed}:{i}") — the same cross-engine primitive the dedup oracles
-    build on, so a SQL twin can regenerate the exact stream.  (splitmix64,
+def _md5_stream_digest_heads(seed: int, n: int, width: int) -> bytes:
+    """First `width` digest bytes of md5(f"{seed}:{i}") for i in [0, n),
+    concatenated. One digest per element is the pinned cross-engine
+    semantic (the SQL oracle regenerates the identical stream), but the
+    assembly is batched: one prefix encode, a comprehension of digest
+    slices, a single join — no per-element bytes() churn.  (splitmix64,
     used for the ANN hyperplanes, would need wrap-around 64-bit
     multiplication, which DuckDB BIGINT raises on rather than wraps.)"""
     import hashlib
 
-    return bytes(hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
-                 for i in range(n))
+    prefix = f"{seed}:".encode()
+    md5 = hashlib.md5
+    return b"".join(md5(prefix + str(i).encode()).digest()[:width]
+                    for i in range(n))
+
+
+def _md5_stream_bytes(seed: int, n: int) -> bytes:
+    """n deterministic payload bytes: byte[i] = first digest byte of
+    md5(f"{seed}:{i}")."""
+    return _md5_stream_digest_heads(seed, n, 1)
 
 
 def encode_fake_image_md5(width: int, height: int, seed: int) -> bytes:
@@ -84,13 +94,13 @@ def encode_fake_audio_md5(sample_rate: int, n_samples: int,
                           seed: int) -> bytes:
     """x-fake-audio waveform whose samples are md5-derived: sample[i] =
     d[0]·256 + d[1] − 32768 over the first two digest bytes (oracle-exact
-    twin of :func:`encode_fake_audio`, same container/decoder)."""
-    import hashlib
-
-    samples = np.empty(n_samples, dtype=np.int16)
-    for i in range(n_samples):
-        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
-        samples[i] = np.int16(d[0] * 256 + d[1] - 32768)
+    twin of :func:`encode_fake_audio`, same container/decoder).  The
+    arithmetic is vectorized: the two head bytes of every digest are
+    joined once, then one numpy expression builds the whole waveform."""
+    heads = np.frombuffer(
+        _md5_stream_digest_heads(seed, n_samples, 2), dtype=np.uint8
+    ).reshape(-1, 2).astype(np.int32)
+    samples = (heads[:, 0] * 256 + heads[:, 1] - 32768).astype(np.int16)
     return (FAKE_AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples)
             + samples.tobytes())
 

@@ -88,9 +88,12 @@ def test_plan_is_arrow_not_literals(spark):
     plan = lsh_bucketed_topk(emb, [0, 1], k=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" in plan
-    # the literal version carried one float array per plane in the plan
-    assert "aggregate(zip_with" not in plan.replace(" ", "") or \
-        plan.count("0.") < 100
+    # the literal version inlined one float array per hyperplane into the
+    # plan (hundreds of "0.xxx" literals).  aggregate(zip_with ...) does
+    # legitimately appear — it's the JVM-side cosine of the scoring stage —
+    # so the literal-count guard is asserted unconditionally instead of
+    # being OR-ed behind it (the OR made it vacuous).
+    assert plan.count("0.") < 100
 
 
 def test_production_dims(spark):
