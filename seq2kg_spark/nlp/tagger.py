@@ -601,6 +601,13 @@ def _assign_pos(toks: list[Tok]) -> None:
             # possessive pronouns open NPs like determiners ("your photo",
             # "its shooting brake style") — spaCy PRP$ / dep poss
             t.pos = "DET"
+        elif (lower in ADJECTIVES_EXTRA and prev_lower == "the"
+                and nxt_lower in ADPOSITIONS):
+            # nominal adjective heading its own NP: det + ADJ with no noun
+            # following ("opens to the public on Saturday , January 14") —
+            # spaCy promotes these to the NP head (NN), so they chunk and
+            # feed the doc graph the path pass walks
+            t.pos = "NOUN"
         elif lower in ("least", "most") and prev_raw.lower() == "at":
             # "at least (one|the styling|...)" — never a node.  The nominal
             # reading is "at the least/most", whose determiner makes
@@ -694,6 +701,12 @@ def _assign_pos(toks: list[Tok]) -> None:
             # bare particle with no verb to merge into and no NP object:
             # spaCy tags these RP/RB, never IN — the reference emits almost
             # no bare 'out'/'up' predicates (2/0 vs our former 18/10)
+            t.pos = "ADV"
+        elif lower == "over" and nxt_lower in ADPOSITIONS:
+            # doubled preposition "over at Noma" / "over in Berlin": spaCy
+            # tags the first word RB (advmod) — keeping it ADP would open
+            # an empty subject window between the two preds, starving the
+            # real preposition of its left-side entities
             t.pos = "ADV"
         elif lower in ADPOSITIONS:
             t.pos = "ADP"
@@ -870,7 +883,11 @@ def _assign_pos(toks: list[Tok]) -> None:
                          or nxt_lower in DETERMINERS)) and (
                     (prev_pos not in ("PRON", "PROPN", "NOUN")
                      and not (prev_pos == "ADV"
-                              and prev2_pos in ("PRON", "PROPN", "NOUN")))
+                              and (prev2_pos in ("PRON", "PROPN", "NOUN")
+                                   # conjoined VP continuation: "and also
+                                   # lowers the M2", "but also features" —
+                                   # the subject sits before the CCONJ
+                                   or prev2_lower in ("and", "but", "or"))))
                     or prev_lower == "whose"
                     or (in_pp and prev_pos == "NOUN"
                         and (not nxt_lower

@@ -113,6 +113,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     checkpoint_every: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
@@ -192,6 +193,9 @@ def connected_components(
             ).collect()[0]
         )
         cur = (h["n"], h["h"])
+        if stats is not None:
+            stats["cc_rounds"] = i + 1
+            stats["cc_edges"] = h["n"]
         if cur == prev_hash:
             converged = True
             break
@@ -217,11 +221,20 @@ def canonicalize(
     triples: DataFrame,
     threshold: float = 0.55,
     n_bands: int = 6,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """triples → (nodes, edges) canonical graph tables."""
+    """triples → (nodes, edges) canonical graph tables.
+
+    ``stats`` (optional dict) is filled with convergence telemetry:
+    ``cc_rounds`` / ``cc_edges`` from the large/small-star loop and
+    ``distinct_mentions`` — the scale drivers a cluster operator watches.
+    """
     mentions = mentions_from_triples(triples).cache()
     sim = similarity_edges(mentions, threshold=threshold, n_bands=n_bands)
-    comp = connected_components(sim)
+    comp = connected_components(sim, stats=stats)
+    if stats is not None:
+        stats["distinct_mentions"] = (
+            mentions.select("norm").distinct().count())
     # every norm gets a component; singletons map to themselves
     norm_comp = (
         mentions.select("norm").distinct()

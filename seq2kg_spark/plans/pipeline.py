@@ -18,6 +18,7 @@ the seam is the ``.write.parquet`` call in lineage.py.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,14 +111,19 @@ def run_kg_pipeline(
     )
 
     triples = spark.read.parquet(triples_path)
-    nodes, edges = canonicalize(triples, threshold=canon_threshold)
+    canon_stats: dict = {}
+    t0 = time.monotonic()
+    nodes, edges = canonicalize(
+        triples, threshold=canon_threshold, stats=canon_stats)
     nodes_path = os.path.join(workdir, "nodes")
     edges_path = os.path.join(workdir, "edges")
     nodes.write.mode("overwrite").parquet(nodes_path)
     edges.write.mode("overwrite").parquet(edges_path)
+    canon_stats["wall_ms"] = int((time.monotonic() - t0) * 1000)
     return {
         "curate": report_curate,
         "extract": report_extract,
+        "canonical": canon_stats,
         "paths": {
             "curated": curated_path,
             "triples": triples_path,

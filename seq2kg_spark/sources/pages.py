@@ -132,6 +132,74 @@ def build_pages_corpus(
     return spark.createDataFrame(build_pages_rows(n_rows, seed), PAGES_SCHEMA)
 
 
+def build_pages_corpus_distributed(
+    spark: SparkSession, n_rows: int, seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scale-path corpus builder: synthesizes rows ON THE EXECUTORS.
+
+    ``build_pages_corpus`` materializes every row in driver memory before
+    ``createDataFrame`` — fine for the ≤100k parity/test corpus, a driver
+    bottleneck at web scale.  This variant unions the (small, driver-built)
+    reference eval docs with a ``spark.range`` → ``mapInPandas`` synthetic
+    tail whose per-row rng is seeded by ``(seed, doc_id)``, so the output
+    is deterministic regardless of partitioning and the build parallelizes
+    across the cluster.  Content differs from the sequential-rng legacy
+    builder at the same ``n_rows`` — the two corpora are distinct fixtures.
+    """
+    import pandas as pd
+
+    ref_docs = load_reference_eval_docs()
+    n_ref = min(len(ref_docs), n_rows)
+    head = build_pages_corpus(spark, n_ref, seed)
+    if n_rows <= n_ref:
+        return head
+    partitions = partitions or max(
+        32, spark.sparkContext.defaultParallelism * 2)
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for doc_id in ids:
+                rng = random.Random(f"{seed}:{doc_id}")
+                text = _synth_doc(rng)
+                lang = "de" if rng.random() < 0.02 else "en"
+                urls.append(f"https://synth.example/web/{doc_id:08d}")
+                tss.append(_EPOCH + timedelta(seconds=int(doc_id)))
+                htmls.append(_html_wrap(text))
+                texts.append(text)
+                langs.append(lang)
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss, "html": htmls,
+                "text": texts, "lang": langs,
+            })
+
+    tail = (
+        spark.range(n_ref, n_rows, numPartitions=partitions)
+        .mapInPandas(synth, PAGES_SCHEMA)
+    )
+    return head.unionByName(tail)
+
+
+def ensure_pages_parquet_distributed(
+    spark: SparkSession, n_rows: int, seed: int = 42, path: str | None = None
+) -> str:
+    """Materialize the distributed-builder corpus once (cache key is
+    namespaced ``pages_dist`` — content differs from the legacy builder)."""
+    if path is None:
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".cache")
+        key = hashlib.sha1(
+            f"pages-dist-{n_rows}-{seed}".encode()).hexdigest()[:12]
+        path = os.path.join(root, f"pages_dist_{n_rows}_{key}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        build_pages_corpus_distributed(spark, n_rows, seed).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
 def corpus_cache_path(n_rows: int, seed: int = 42, root: str | None = None) -> str:
     root = root or os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".cache")
