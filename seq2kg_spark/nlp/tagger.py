@@ -840,12 +840,17 @@ def _assign_pos(toks: list[Tok]) -> None:
                     and lower not in _NEVER_NOUN_VERBS
                     and not lower.endswith("ing")
                     and prev_pos == "NOUN"
+                    and not t.sent_start
                     and not prev_lower.endswith("s")
                     and prev_lower not in _IRREGULAR_PLURALS
                     and last_causative < ti - 5):
                 # agreement: a PRESENT bare stem right after a singular
                 # common noun cannot be its finite verb ("fuel injector
-                # upgrade") — irregular pasts ("Clarkson said") exempt
+                # upgrade") — irregular pasts ("Clarkson said") exempt.
+                # prev_lower skips punctuation, so without the sent_start
+                # gate this leaked across sentence boundaries and demoted
+                # imperatives ("... competition. Take Australia , for
+                # example") to nouns.
                 t.pos = "NOUN"
             elif (prev_pos == "ADJ"
                     and (suf in ("ed", "ing") or lower in _IRREGULAR_PAST)
@@ -866,6 +871,7 @@ def _assign_pos(toks: list[Tok]) -> None:
                 # "after seeing the video" — spaCy VBG
                 t.pos = "VERB"
             elif (prev_pos in ("DET", "ADP", "NUM", "ADJ")
+                    and not t.sent_start
                     and prev_lower != "all"
                     and (prev_lower not in ("that", "which", "who")
                          or prev_pos == "DET")
