@@ -55,6 +55,12 @@ def main() -> None:
         return extract_triples(s.read.parquet(pages_path),
                                num_partitions=max(16, cpus))
 
+    def neural_extract(s, d):
+        from seq2kg_spark.operators.tagger_infer import neural_extract_triples
+
+        return neural_extract_triples(s.read.parquet(pages_path),
+                                      num_partitions=max(16, cpus))
+
     def minhash_scale(s, d):
         return minhash_lsh_pairs(
             E._t(s, d, "documents"), n_bands=8, threshold=0.002,
@@ -96,6 +102,12 @@ def main() -> None:
         "media_features_int": E.q_media_features_int,
         "clean_text_unicode": E.q_clean_text_unicode,
         "lsh_bucketed_topk": E.q_lsh_bucketed_topk,
+        # round-5: the neural (F1->M5) path on the same prose corpus —
+        # tokenize + hash-encode + BiGRU + decode through the salted
+        # repartition, weights broadcast once.  Cold first, then warm
+        # (same cold-start decomposition as rule-based extraction).
+        "kg_neural_triples": neural_extract,
+        "kg_neural_warm": neural_extract,
         # steady-state extraction: the headline kg_extract_triples is the
         # session's FIRST job and absorbs every cold-start cost (JVM JIT,
         # Arrow init, python-worker fork, package-zip broadcast); this
@@ -122,6 +134,8 @@ def main() -> None:
 
     extract_dps = round(n_pages / timings["kg_extract_triples"], 2)
     extract_dps_warm = round(n_pages / extra_timings["kg_extract_warm"], 2)
+    neural_dps = round(n_pages / extra_timings["kg_neural_triples"], 2)
+    neural_dps_warm = round(n_pages / extra_timings["kg_neural_warm"], 2)
     spark.stop()
 
     print(
@@ -137,6 +151,8 @@ def main() -> None:
                     "rows": rows,
                     "kg_extract_docs_per_sec": extract_dps,
                     "kg_extract_docs_per_sec_warm": extract_dps_warm,
+                    "kg_neural_docs_per_sec": neural_dps,
+                    "kg_neural_docs_per_sec_warm": neural_dps_warm,
                     "kg_extract_corpus": f"prose:{n_pages}",
                     "extra_queries": extra_timings,
                 },
