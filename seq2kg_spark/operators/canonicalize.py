@@ -38,10 +38,14 @@ def normalize_mention(col):
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:
-    """Distinct mention surfaces with frequencies: (mention, norm, freq)."""
-    surfaces = triples.select(F.col("subj").alias("mention")).unionAll(
-        triples.select(F.col("obj").alias("mention"))
-    )
+    """Distinct mention surfaces with frequencies: (mention, norm, freq).
+
+    One scan: subj/obj explode to two mention rows per triple.  (The
+    earlier unionAll of two selects read the triples table twice — at 12M
+    rows the duplicate scan was measurable, at 100 TB it doubles the
+    stage's I/O.)"""
+    surfaces = triples.select(
+        F.explode(F.array("subj", "obj")).alias("mention"))
     return (
         surfaces.groupBy("mention")
         .agg(F.count("*").alias("freq"))
