@@ -679,6 +679,25 @@ def q_graph_connected_components(spark, sf_dir):
     )
 
 
+def q_kg_mention_norms(spark, sf_dir):
+    """Canonicalize stage 1 (mention surface → normal form + frequency) on
+    a deterministic triples-shaped input built from the part table.  The
+    obj side is edge-decorated ("  TYPE 's") so every normalize_mention
+    step — lowercase, possessive strip, non-alnum edge trim, whitespace
+    squeeze — does real work and is verified cross-engine hash-exact."""
+    from seq2kg_spark.operators.canonicalize import mentions_from_triples
+
+    part = _t(spark, sf_dir, "part")
+    trip = part.select(
+        F.col("p_name").alias("subj"),
+        F.lit("has_type").alias("pred"),
+        F.concat(F.lit("  "), F.col("p_type"), F.lit(" 's")).alias("obj"),
+    )
+    m = mentions_from_triples(trip)
+    return m.select(
+        "mention", "norm", F.col("freq").cast("long").alias("freq"))
+
+
 def q_kg_canonical_nodes(spark, sf_dir):
     """Full canonicalization over extracted triples (rows-only check)."""
     from seq2kg_spark.operators.canonicalize import canonicalize
@@ -991,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "graph_connected_components": q_graph_connected_components,
+        "kg_mention_norms": q_kg_mention_norms,
         "kg_extract_triples": q_kg_extract_triples,
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "kg_neural_triples": q_kg_neural_triples,
@@ -1389,6 +1409,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sum(n_inter) * 10000.0 /
                         greatest(sum(n_gold), 1)) AS BIGINT) AS micro_r_e4
             FROM per_doc
+        """,
+        "kg_mention_norms": """
+            WITH surfaces AS (
+              SELECT unnest([p_name, '  ' || p_type || ' ''s']) AS mention
+              FROM part
+            ),
+            agg AS (
+              SELECT mention, CAST(count(*) AS BIGINT) AS freq
+              FROM surfaces GROUP BY 1
+            )
+            SELECT mention,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(mention), '''s$', ''),
+                       '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g'),
+                     '\\s+', ' ', 'g') AS norm,
+                   freq
+            FROM agg
+            WHERE regexp_replace(
+                    regexp_replace(
+                      regexp_replace(lower(mention), '''s$', ''),
+                      '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g'),
+                    '\\s+', ' ', 'g') <> ''
         """,
         "graph_connected_components": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
