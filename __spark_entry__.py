@@ -972,6 +972,44 @@ def _clean_text_unicode_oracle() -> str:
     """
 
 
+def q_html_extract(spark, sf_dir):
+    """Boilerplate/text extraction (north-star stage 0): every document is
+    wrapped into a full synthetic page (doctype, comment, head/style, nav,
+    script, footer chrome, entity-escaped body) INSIDE the query, then the
+    production Catalyst extraction chain recovers the text.  The DuckDB
+    twin builds byte-identical HTML and runs the generated RE2 chain from
+    the same spec table — hash-exact cross-engine, and ``roundtrip`` makes
+    the per-url byte-identity invariant itself part of the compared values.
+
+    Pure whole-stage-codegen projection (regexp_replace/replace chain, no
+    UDF): at 100 TB this is the cheapest possible shape for the stage."""
+    from seq2kg_spark.functions.html_text import (html_to_text_expr,
+                                                  wrap_page_html_expr)
+
+    docs = _t(spark, sf_dir, "documents")
+    page = wrap_page_html_expr(F.col("text"), F.lit("Synthetic Page"))
+    ext = html_to_text_expr(page)
+    return docs.select(
+        "doc_id",
+        ext.alias("extracted"),
+        (ext == F.col("text")).alias("roundtrip"),
+    )
+
+
+def _html_extract_oracle() -> str:
+    from seq2kg_spark.functions.html_text import (html_to_text_duckdb,
+                                                  wrap_page_html_duckdb)
+
+    expr = html_to_text_duckdb(
+        wrap_page_html_duckdb("text", "'Synthetic Page'"))
+    return f"""
+        SELECT doc_id,
+               {expr} AS extracted,
+               ({expr} = text) AS roundtrip
+        FROM documents
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1018,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "clean_text_ascii": q_clean_text_ascii,
         "clean_text_unicode": q_clean_text_unicode,
+        "html_extract": q_html_extract,
         "streaming_sessions": q_streaming_sessions,
         "sessions_batch": q_sessions_batch,
         "window_counts_batch": q_window_counts_batch,
@@ -1567,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_int": _lsh_topk_int_oracle(),
         "clean_text_ascii": _clean_text_ascii_oracle(),
         "clean_text_unicode": _clean_text_unicode_oracle(),
+        "html_extract": _html_extract_oracle(),
         "media_features_int": _media_features_int_oracle(),
         "window_counts_batch": """
             WITH wm AS (

@@ -41,8 +41,21 @@ def curate_stage_fn(full_pages: DataFrame):
     cheap next to extraction.  The gates are pure Catalyst.
     """
     from seq2kg_spark.functions import text_stats as TS
+    from seq2kg_spark.functions.html_text import (decode_html_expr,
+                                                  html_to_text_expr)
 
     def gate(df: DataFrame) -> DataFrame:
+        # Pages that arrive with raw HTML only (text IS NULL) get stage-0
+        # boilerplate extraction inline — a pure Catalyst projection, so
+        # the gate stays whole-stage-codegen with or without it.
+        if "html" in df.columns:
+            df = df.withColumn(
+                "text",
+                F.coalesce(
+                    F.col("text"),
+                    html_to_text_expr(decode_html_expr(F.col("html"))),
+                ),
+            )
         return df.where(
             (F.col("lang") == "en")
             & (TS.quality_label(F.col("text")) == "ok")

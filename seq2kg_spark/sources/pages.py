@@ -94,11 +94,12 @@ def _synth_doc(rng: random.Random) -> str:
 
 
 def _html_wrap(text: str) -> bytes:
-    title = text[:40].replace("<", " ")
-    return (
-        f"<html><head><title>{title}</title></head>"
-        f"<body><p>{text}</p></body></html>"
-    ).encode("utf-8")
+    # Full synthetic page (comment/doctype/head/nav/script/footer chrome,
+    # entity-escaped body) so html_to_text's round-trip invariant exercises
+    # every family of the extraction spec, not just tag stripping.
+    from seq2kg_spark.functions.html_text import wrap_page_html
+
+    return wrap_page_html(text).encode("utf-8")
 
 
 def build_pages_rows(n_rows: int = 300, seed: int = 42) -> list[tuple]:
