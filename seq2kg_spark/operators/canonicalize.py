@@ -247,7 +247,13 @@ def canonicalize(
             "norm", F.coalesce("component", F.col("norm")).alias("component")
         )
     )
-    m = mentions.join(norm_comp, "norm")
+    # One row per mention surface.  localCheckpoint (same lineage-cut budget
+    # as the CC rounds) because FIVE downstream subtrees reference it — the
+    # canon window, nodes, and both edge-side maps; without the cut each
+    # write action re-runs the mentions→components join chain from scratch
+    # (measured: the 500k-page canonicalize stage spent most of its 179 s
+    # recomputing this naming chain per action).
+    m = mentions.join(norm_comp, "norm").localCheckpoint(eager=True)
     # canonical surface: most frequent, then longest, then lexicographic
     w = Window.partitionBy("component").orderBy(
         F.desc("freq"), F.desc(F.length("mention")), F.asc("mention")
@@ -266,10 +272,14 @@ def canonicalize(
         .withColumn("canon_id", F.xxhash64("component"))
         .select("canon_id", "canonical", "members", "n_mentions")
     )
+    # Referenced twice (subject and object side of the triples join) and by
+    # a separate write action — checkpoint so the window + join above run
+    # once, and AQE sees a concrete (small) size and broadcasts it into the
+    # big triples join instead of shuffling 2×|triples| rows.
     mention_to_canon = m.join(canon, "component").select(
         F.col("mention"), F.xxhash64("component").alias("canon_id"),
         F.col("canonical"),
-    ).dropDuplicates(["mention"])
+    ).dropDuplicates(["mention"]).localCheckpoint(eager=True)
     s_map = mention_to_canon.select(
         F.col("mention").alias("subj"),
         F.col("canon_id").alias("src"),
