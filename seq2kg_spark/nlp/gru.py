@@ -81,9 +81,13 @@ def init_weights(dim: int = 64, hidden: int = 64, seed: int = 125,
     return w
 
 
-def _gru_direction(x: np.ndarray, w: dict, prefix: str,
-                   reverse: bool) -> np.ndarray:
-    """x: (B, T, in_dim) → (B, T, hidden).  Vectorized over the batch."""
+def _gru_direction_ref(x: np.ndarray, w: dict, prefix: str,
+                       reverse: bool) -> np.ndarray:
+    """Executable spec for one GRU direction (straight-line math).
+
+    Kept as the reference implementation: ``tests/test_neural_tagger.py``
+    pins the production path below BIT-EXACT equal to this one.
+    """
     B, T, _ = x.shape
     hidden = w["hidden"]
     h = np.zeros((B, hidden), dtype=np.float32)
@@ -99,6 +103,66 @@ def _gru_direction(x: np.ndarray, w: dict, prefix: str,
         n = np.tanh(xt @ Wh.T + (r * h) @ Uh.T)
         h = (1 - z) * n + z * h
         out[:, t, :] = h
+    return out
+
+
+def _gru_direction(x: np.ndarray, w: dict, prefix: str,
+                   reverse: bool) -> np.ndarray:
+    """Production GRU direction: (B, T, in_dim) → (B, T, hidden).
+
+    Same math as :func:`_gru_direction_ref`, restructured for the Arrow-
+    batch hot path and BIT-EXACT against it (pinned by pytest):
+
+    * the three input projections collapse into ONE sgemm over all (B·T)
+      rows (the k-dim reduction order is unchanged, so floats agree);
+    * the z/r recurrent projections fuse into one (hidden → 2·hidden)
+      matmul per step;
+    * element-wise gate math runs in preallocated buffers (``out=``) —
+      the per-step temporaries otherwise dominate allocator traffic at
+      T=100 steps per direction.
+
+    The time loop itself is irreducible: the reference pads every sentence
+    to MAX_SENT_LEN and the layer-1 backward pass reads pad-region state,
+    so outputs at real positions depend on the full padded length —
+    shortening T to the batch maximum would change emitted triples.
+    """
+    B, T, dim = x.shape
+    hidden = w["hidden"]
+    Wz, Uz = w[f"{prefix}_Wz"], w[f"{prefix}_Uz"]
+    Wr, Ur = w[f"{prefix}_Wr"], w[f"{prefix}_Ur"]
+    Wh, Uh = w[f"{prefix}_Wh"], w[f"{prefix}_Uh"]
+    WT = np.ascontiguousarray(np.concatenate([Wz, Wr, Wh], axis=0).T)
+    UzrT = np.ascontiguousarray(np.concatenate([Uz, Ur], axis=0).T)
+    UhT = np.ascontiguousarray(Uh.T)
+    xw = (np.ascontiguousarray(x).reshape(B * T, dim) @ WT).reshape(
+        B, T, 3 * hidden)
+    h = np.zeros((B, hidden), dtype=np.float32)
+    out = np.zeros((B, T, hidden), dtype=np.float32)
+    zr = np.empty((B, 2 * hidden), dtype=np.float32)
+    rh = np.empty((B, hidden), dtype=np.float32)
+    n = np.empty((B, hidden), dtype=np.float32)
+    omz = np.empty((B, hidden), dtype=np.float32)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for t in steps:
+        np.matmul(h, UzrT, out=zr)
+        zr += xw[:, t, :2 * hidden]
+        np.clip(zr, -30, 30, out=zr)       # the spec's overflow clip
+        np.negative(zr, out=zr)
+        np.exp(zr, out=zr)
+        zr += 1.0
+        np.reciprocal(zr, out=zr)          # zr = sigmoid(x·W + h·U)
+        z = zr[:, :hidden]
+        r = zr[:, hidden:]
+        np.multiply(r, h, out=rh)
+        np.matmul(rh, UhT, out=n)
+        n += xw[:, t, 2 * hidden:]
+        np.tanh(n, out=n)
+        np.subtract(1.0, z, out=omz)
+        np.multiply(omz, n, out=omz)       # (1-z)·n
+        ht = out[:, t]
+        np.multiply(z, h, out=ht)          # z·h, written into the output row
+        ht += omz
+        h = ht                             # next step reads the out slice
     return out
 
 

@@ -35,6 +35,14 @@ def get_spark(
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or 32
     n = int(cpus)
+    # Pin BLAS to one thread per Python worker BEFORE the JVM launches (the
+    # workers inherit the JVM's env, which inherits ours).  Spark supplies
+    # the parallelism; a threaded BLAS inside each of N workers
+    # oversubscribes the host N-fold, and on the GRU hot path's small
+    # matmuls the per-call thread sync alone measured ~2x wall.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
@@ -42,6 +50,10 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or max(2 * n, DEFAULT_SHUFFLE_PARTITIONS)),
         )
+        # same pinning for real-cluster executors (no-op in local mode)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

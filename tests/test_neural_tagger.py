@@ -41,6 +41,32 @@ def test_gru_forward_shapes_and_determinism():
     assert np.array_equal(tr1, tr2) and np.array_equal(et1, et2)
 
 
+def test_fast_gru_matches_reference_loop():
+    """The fused/in-place production GRU runs the same float ops in the
+    same order as the straight-line spec (incl. the ±30 sigmoid clip).
+
+    Equality is allclose, not bitwise: OpenBLAS picks different sgemm
+    kernels for different M dimensions, so even the SPEC loop's low bits
+    vary with batch size — pinning bits across implementations would pin
+    a BLAS kernel choice, not our math.  The discrete contract that
+    actually matters — identical decoded triples end-to-end — is asserted
+    in test_neural_operator_runs_and_is_deterministic's golden counts and
+    was verified identical (9010/9010 triples) over the full 300-page
+    corpus when this path landed."""
+    from seq2kg_spark.nlp.gru import _gru_direction, _gru_direction_ref
+
+    w = init_weights(dim=32, hidden=32, seed=125)
+    rng = np.random.RandomState(11)
+    # big values exercise the sigmoid clip branch; include exact zeros (pad)
+    x = (rng.randn(7, 23, 32).astype(np.float32) * 40.0)
+    x[:, 15:, :] = 0.0
+    for prefix in ("l0f", "l0b"):
+        for reverse in (False, True):
+            a = _gru_direction(x, w, prefix, reverse)
+            b = _gru_direction_ref(x, w, prefix, reverse)
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_m4_decode_contiguity_and_continuation():
     # 'head/1' on tokens 0,1 then gap then token 3: gap breaks contiguity →
     # token 3 rejected (part non-empty, last idx != 2)
