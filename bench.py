@@ -102,6 +102,9 @@ def main() -> None:
         "media_features_int": E.q_media_features_int,
         "clean_text_unicode": E.q_clean_text_unicode,
         "lsh_bucketed_topk": E.q_lsh_bucketed_topk,
+        # round-5: stage-0 boilerplate extraction (pure Catalyst regex
+        # chain over synthesized page HTML — the html_extract oracle query)
+        "html_extract": E.q_html_extract,
         # round-5: the neural (F1->M5) path on the same prose corpus —
         # tokenize + hash-encode + BiGRU + decode through the salted
         # repartition, weights broadcast once.  Cold first, then warm
