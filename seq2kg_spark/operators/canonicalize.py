@@ -67,12 +67,23 @@ def similarity_edges(
     threshold: float = 0.55,
     n_bands: int = 6,
     k: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Same-entity candidate edges between *normalized* mention strings.
 
     Exact-norm collisions are free (groupBy); near-miss pairs come from
     banded MinHash over char k-shingles, verified by Jaccard ≥ threshold.
     Returns (a, b) string pairs with a < b.
+
+    ``max_bucket`` is the skew guard on the LSH self-join: a (band, sig)
+    bucket of n members emits n² candidate rows, so one hot signature
+    (short mentions share few shingles — "inc", "llc", digit strings) can
+    go quadratic at web scale.  Buckets over the cap are dropped before
+    the join — their members simply contribute no candidates from that
+    band (they usually collide in a calmer band too; the exact-norm
+    grouping and the CC transitive closure still connect identical and
+    chained mentions).  The cap bounds the join at
+    O(n_bands · max_bucket²) rows per bucket, never O(|mentions|²).
     """
     norms = mentions.select("norm").distinct()
     sh = norms.select(
@@ -83,6 +94,13 @@ def similarity_edges(
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn("h", F.xxhash64("band", "shingle"))
     sig = bands.groupBy("norm", "band").agg(F.min("h").alias("sig"))
+    bucket_ok = (
+        sig.groupBy("band", "sig")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select("band", "sig")
+    )
+    sig = sig.join(bucket_ok, ["band", "sig"])
     cand = (
         sig.alias("x")
         .join(sig.alias("y"), ["band", "sig"])

@@ -66,3 +66,17 @@ def test_similarity_edges_blocking_not_quadratic(spark):
     m = mentions_from_triples(triples)
     sim = similarity_edges(m, threshold=0.9)
     assert sim.count() == 0
+
+
+def test_similarity_edges_hot_bucket_guard(spark):
+    """The max_bucket skew guard bounds the LSH self-join: with the cap at
+    1, every candidate-producing bucket (≥2 members) is dropped, so no
+    pairs survive; with the default cap the near-identical mentions pair
+    up as before."""
+    triples = spark.createDataFrame(
+        [("u", f"Globex Corporation {i}", "p", "x") for i in range(8)],
+        "url string, subj string, pred string, obj string",
+    )
+    m = mentions_from_triples(triples)
+    assert similarity_edges(m, threshold=0.5).count() > 0
+    assert similarity_edges(m, threshold=0.5, max_bucket=1).count() == 0
