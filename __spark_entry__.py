@@ -1010,6 +1010,70 @@ def _html_extract_oracle() -> str:
     """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style curation gates):
+    duplicated sentence-segments and the dominant word bigram per doc, all
+    integer-exact.  Plan: two map-side-combinable hash aggs keyed by
+    doc_id (one row per distinct unit per doc crosses the shuffle, never
+    per token) + a min_by argmax — no window, no crossJoin."""
+    from seq2kg_spark.operators.repetition import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_segments", "n_dup_segments", "n_words",
+        "top_bigram", "top_bigram_n",
+    )
+
+
+def _repetition_stats_oracle() -> str:
+    return r"""
+        WITH segs AS (
+          SELECT doc_id, seg FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\.\s+')) AS seg
+            FROM documents)
+          WHERE seg <> ''
+        ), seg_stats AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_segments,
+                 CAST(COUNT(*) - COUNT(DISTINCT seg) AS BIGINT)
+                   AS n_dup_segments
+          FROM segs GROUP BY doc_id
+        ), wd AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, len(ws) AS n_words,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+          FROM wd WHERE len(ws) >= 2
+        ), per_bg AS (
+          SELECT doc_id, n_words, bigram, COUNT(*) AS n
+          FROM bg GROUP BY doc_id, n_words, bigram
+        ), top AS (
+          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                 bigram AS top_bigram, CAST(n AS BIGINT) AS top_bigram_n
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY n DESC, bigram ASC) AS rn
+                FROM per_bg)
+          WHERE rn = 1
+        ), short AS (
+          -- <2-word docs keep a null-bigram row on the Spark side
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(NULL AS VARCHAR) AS top_bigram,
+                 CAST(NULL AS BIGINT) AS top_bigram_n
+          FROM wd WHERE len(ws) < 2
+        )
+        SELECT s.doc_id, s.n_segments, s.n_dup_segments,
+               t.n_words, t.top_bigram, t.top_bigram_n
+        FROM seg_stats s
+        JOIN (SELECT * FROM top UNION ALL SELECT * FROM short) t
+          USING (doc_id)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1057,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text_ascii": q_clean_text_ascii,
         "clean_text_unicode": q_clean_text_unicode,
         "html_extract": q_html_extract,
+        "repetition_stats": q_repetition_stats,
         "streaming_sessions": q_streaming_sessions,
         "sessions_batch": q_sessions_batch,
         "window_counts_batch": q_window_counts_batch,
@@ -1607,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_text_ascii": _clean_text_ascii_oracle(),
         "clean_text_unicode": _clean_text_unicode_oracle(),
         "html_extract": _html_extract_oracle(),
+        "repetition_stats": _repetition_stats_oracle(),
         "media_features_int": _media_features_int_oracle(),
         "window_counts_batch": """
             WITH wm AS (
