@@ -129,6 +129,17 @@ def stream_dedup_pages(
     ``dropDuplicates(["url","text_md5"])`` would never evict (the key set
     excludes the watermark column), leaking state on a long-running stream.
     """
+    from seq2kg_spark.functions.html_text import (decode_html_expr,
+                                                  html_to_text_expr)
+
+    # same stage-0 seam as the batch curate gate: pages arriving with raw
+    # HTML only are extracted inline (pure Catalyst — streaming-safe)
+    if "html" in pages_stream.columns:
+        pages_stream = pages_stream.withColumn(
+            "text",
+            F.coalesce(F.col("text"),
+                       html_to_text_expr(decode_html_expr(F.col("html")))),
+        )
     deduped = (
         pages_stream.withColumn("text_md5", F.md5(F.col("text")))
         .withWatermark("warc_ts", watermark)
