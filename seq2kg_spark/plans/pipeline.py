@@ -124,15 +124,47 @@ def run_kg_pipeline(
     )
 
     triples = spark.read.parquet(triples_path)
-    canon_stats: dict = {}
-    t0 = time.monotonic()
-    nodes, edges = canonicalize(
-        triples, threshold=canon_threshold, stats=canon_stats)
     nodes_path = os.path.join(workdir, "nodes")
     edges_path = os.path.join(workdir, "edges")
-    nodes.write.mode("overwrite").parquet(nodes_path)
-    edges.write.mode("overwrite").parquet(edges_path)
-    canon_stats["wall_ms"] = int((time.monotonic() - t0) * 1000)
+
+    # Canonicalize is a GLOBAL stage (connected components cannot be
+    # bucketed), so its resume unit is the whole stage: a completion marker
+    # carrying a fingerprint of the extract lineage it was built from.
+    # Written AFTER both graph tables commit — a kill mid-canonicalize
+    # leaves no marker and the rerun recomputes; a rerun over unchanged
+    # triples skips the stage entirely.
+    extract_fp = "|".join(
+        f"{b}:{n}" for b, n in sorted(
+            (r.bucket, r.n_output) for r in
+            spark.read.parquet(lineage_path)
+            .where(F.col("stage") == "extract")
+            .select("bucket", "n_output").collect())
+    )
+    # one-row parquet, not a local file: workdir may be HDFS/S3
+    marker_path = os.path.join(workdir, "canonical_done")
+    canon_stats: dict = {}
+    prior = None
+    try:
+        rows = spark.read.parquet(marker_path).collect()
+        if rows:
+            prior = rows[0].fp
+    except Exception:
+        prior = None
+    # Skip only when (a) THIS run re-extracted nothing (a recomputed bucket
+    # may change content without changing its row count) and (b) the
+    # committed lineage matches what the marker was built from.
+    if not report_extract["processed"] and prior == extract_fp:
+        canon_stats["skipped"] = True
+        canon_stats["wall_ms"] = 0
+    else:
+        t0 = time.monotonic()
+        nodes, edges = canonicalize(
+            triples, threshold=canon_threshold, stats=canon_stats)
+        nodes.write.mode("overwrite").parquet(nodes_path)
+        edges.write.mode("overwrite").parquet(edges_path)
+        canon_stats["wall_ms"] = int((time.monotonic() - t0) * 1000)
+        spark.createDataFrame([(extract_fp,)], "fp string").coalesce(
+            1).write.mode("overwrite").parquet(marker_path)
     return {
         "curate": report_curate,
         "extract": report_extract,

@@ -36,3 +36,29 @@ def test_pipeline_end_to_end(spark, pages, tmp_path):
     )
     assert report2["curate"]["processed"] == []
     assert report2["extract"]["processed"] == []
+    # ... including the global canonicalize stage (completion marker keyed
+    # by the extract-lineage fingerprint)
+    assert report2["canonical"].get("skipped") is True
+    assert report["canonical"].get("skipped") is None
+    # graph tables from the first run are still intact after the no-op
+    assert spark.read.parquet(report2["paths"]["nodes"]).count() == \
+        nodes.count()
+
+
+def test_canonicalize_recomputes_when_triples_change(spark, pages, tmp_path):
+    wd = str(tmp_path / "kg2")
+    run_kg_pipeline(pages.limit(40), wd, n_buckets=2, num_partitions=4)
+    # invalidate one extract bucket: drop its lineage rows (the kill-resume
+    # simulation used across the lineage tests)
+    lineage_path = wd + "/lineage"
+    lin = spark.read.parquet(lineage_path)
+    kept = lin.where(~((F.col("stage") == "extract") & (F.col("bucket") == 0)))
+    kept_rows = kept.collect()
+    spark.createDataFrame(kept_rows, lin.schema).write.mode(
+        "overwrite").parquet(lineage_path)
+    report = run_kg_pipeline(pages.limit(40), wd, n_buckets=2,
+                             num_partitions=4)
+    assert report["extract"]["processed"] == [0]
+    # extract recomputed a bucket → fingerprint moved → canonicalize reran
+    assert report["canonical"].get("skipped") is None
+    assert report["canonical"]["cc_rounds"] >= 1
