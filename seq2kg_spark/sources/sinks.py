@@ -56,3 +56,62 @@ def write_graph_tables(nodes: DataFrame, edges: DataFrame, base: str) -> None:
     """Graph materialization sink (Iceberg seam: swap to writeTo())."""
     nodes.write.mode("overwrite").parquet(f"{base}/nodes")
     edges.write.mode("overwrite").parquet(f"{base}/edges")
+
+
+# --------------------------------------------------------------------------
+# S8 — model checkpoint sink (joint_model/train.py's torch.save analog).
+# The reference checkpoints its tagger with torch.save per epoch; here the
+# weights dict (numpy, torch-GRU key layout — nlp/gru.py) round-trips
+# through a parquet table (tensor, idx, value float32 + a shape row-group)
+# so a checkpoint lives next to the pipeline's other tables on the same
+# filesystem (HDFS/S3-safe), loads exactly (float32 is exact in parquet),
+# and is inspectable with any engine.
+# --------------------------------------------------------------------------
+
+def write_weights_parquet(spark, weights: dict, path: str) -> None:
+    """Persist a gru.init_weights-shaped dict: scalars + float32 ndarrays."""
+    import numpy as np
+
+    rows = []
+    for name, val in weights.items():
+        if isinstance(val, (int, float)):
+            rows.append((name, "scalar", str(val), None, None))
+            continue
+        arr = np.asarray(val, dtype=np.float32)
+        rows.append((name, "shape", ",".join(map(str, arr.shape)), None,
+                     None))
+        flat = arr.reshape(-1)
+        rows.extend(
+            (name, "data", None, int(i), float(v))
+            for i, v in enumerate(flat)
+        )
+    df = spark.createDataFrame(
+        rows, "tensor string, kind string, meta string, idx long, "
+              "value float")
+    df.repartition(1).write.mode("overwrite").parquet(path)
+
+
+def read_weights_parquet(spark, path: str) -> dict:
+    """Exact inverse of :func:`write_weights_parquet`."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).collect()
+    shapes: dict[str, tuple] = {}
+    data: dict[str, list] = {}
+    out: dict = {}
+    for r in rows:
+        if r.kind == "scalar":
+            v = float(r.meta)
+            out[r.tensor] = int(v) if v.is_integer() else v
+        elif r.kind == "shape":
+            shapes[r.tensor] = tuple(
+                int(x) for x in r.meta.split(",")) if r.meta else ()
+        else:
+            data.setdefault(r.tensor, []).append((r.idx, r.value))
+    for name, shape in shapes.items():
+        vals = data.get(name, [])
+        arr = np.empty(len(vals), dtype=np.float32)
+        for i, v in vals:
+            arr[i] = v
+        out[name] = arr.reshape(shape)
+    return out

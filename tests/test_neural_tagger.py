@@ -109,3 +109,29 @@ def test_neural_operator_runs_and_is_deterministic(spark, pages):
     key = lambda r: (r.url, r.subj, r.pred, r.obj)
     assert sorted(map(key, a)) == sorted(map(key, b))
     assert {type(r.subj_types) for r in a} <= {list}
+
+
+def test_weights_checkpoint_roundtrip_exact(spark, tmp_path):
+    """S8 model-checkpoint sink: the weights dict survives a parquet
+    round-trip bit-exactly (float32 is exact in parquet) and the reloaded
+    model produces identical logits."""
+    import numpy as np
+
+    from seq2kg_spark.sources.sinks import (read_weights_parquet,
+                                            write_weights_parquet)
+
+    w = init_weights(dim=16, hidden=16, seed=125)
+    path = str(tmp_path / "ckpt")
+    write_weights_parquet(spark, w, path)
+    w2 = read_weights_parquet(spark, path)
+    assert set(w) == set(w2)
+    for k in w:
+        if isinstance(w[k], np.ndarray):
+            assert np.array_equal(w[k], w2[k]), k
+            assert w[k].dtype == w2[k].dtype == np.float32
+        else:
+            assert w[k] == w2[k], k
+    x = np.random.RandomState(3).randn(2, 10, 16).astype(np.float32)
+    a_tr, a_et = forward_logits(x, w)
+    b_tr, b_et = forward_logits(x, w2)
+    assert np.array_equal(a_tr, b_tr) and np.array_equal(a_et, b_et)
