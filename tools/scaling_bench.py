@@ -83,11 +83,22 @@ def _steal_sec() -> float:
     return int(fields[8]) / hz if len(fields) > 8 else 0.0
 
 
-def run_once(cpus: int, path: str) -> dict:
+def _job_fn(job: str):
+    """The measured job: rule extraction (default) or the neural F1->M5
+    path (``--neural``) — same corpus, same salted repartition shape, so
+    the two scaling figures are directly comparable."""
+    if job == "neural":
+        from seq2kg_spark.operators.tagger_infer import neural_extract_triples
+        return neural_extract_triples
     from seq2kg_spark.operators.extract import extract_triples
+    return extract_triples
+
+
+def run_once(cpus: int, path: str, job: str = "extract") -> dict:
     from seq2kg_spark.session import get_spark
     from seq2kg_spark.sources.pages import read_pages
 
+    extract_triples = _job_fn(job)
     spark = get_spark(f"scaling-{cpus}", cpus=cpus,
                       shuffle_partitions=max(4 * cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
@@ -186,16 +197,21 @@ def main() -> None:
         sys.argv.remove("--pinned-8-32")
         main_pinned_8_32(int(sys.argv[1]) if len(sys.argv) > 1 else 40000)
         return
+    job = "extract"
+    if "--neural" in sys.argv:
+        sys.argv.remove("--neural")
+        job = "neural"
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     path = ensure_corpus(n_pages)
-    small = run_once(n_small, path)
-    big = run_once(n_big, path)
+    small = run_once(n_small, path, job)
+    big = run_once(n_big, path, job)
     ratio = n_big / n_small
     efficiency = (big["docs_per_sec"] / small["docs_per_sec"]) / ratio
     print(json.dumps({
-        "job": "extract_triples(pages)",
+        "job": ("neural_extract_triples(pages)" if job == "neural"
+                else "extract_triples(pages)"),
         "corpus": {"path": path, "n_pages": n_pages},
         "small": small,
         "big": big,
