@@ -1026,11 +1026,15 @@ def q_repetition_stats(spark, sf_dir):
 
 
 def _repetition_stats_oracle() -> str:
+    # [ \t\r\n\x0B\f]: spelled-out ASCII whitespace class, mirroring
+    # repetition.WS_CLASS — bare \s diverges between Java (includes \x0B)
+    # and RE2 (does not).
     return r"""
         WITH segs AS (
           SELECT doc_id, seg FROM (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(text, '\.\s+')) AS seg
+                   unnest(regexp_split_to_array(
+                       text, '\.[ \t\r\n\x0B\f]+')) AS seg
             FROM documents)
           WHERE seg <> ''
         ), seg_stats AS (
@@ -1041,7 +1045,8 @@ def _repetition_stats_oracle() -> str:
           FROM segs GROUP BY doc_id
         ), wd AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[ \t\r\n\x0B\f]+'),
                              x -> x <> '') AS ws
           FROM documents
         ), bg AS (
@@ -1066,11 +1071,13 @@ def _repetition_stats_oracle() -> str:
                  CAST(NULL AS BIGINT) AS top_bigram_n
           FROM wd WHERE len(ws) < 2
         )
-        SELECT s.doc_id, s.n_segments, s.n_dup_segments,
+        SELECT t.doc_id,
+               COALESCE(s.n_segments, CAST(0 AS BIGINT)) AS n_segments,
+               COALESCE(s.n_dup_segments, CAST(0 AS BIGINT))
+                 AS n_dup_segments,
                t.n_words, t.top_bigram, t.top_bigram_n
-        FROM seg_stats s
-        JOIN (SELECT * FROM top UNION ALL SELECT * FROM short) t
-          USING (doc_id)
+        FROM (SELECT * FROM top UNION ALL SELECT * FROM short) t
+        LEFT JOIN seg_stats s USING (doc_id)
     """
 
 

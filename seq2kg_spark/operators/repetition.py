@@ -29,8 +29,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-SEGMENT_SPLIT = "\\.\\s+"
-WORD_SPLIT = "\\s+"
+# Spelled-out ASCII whitespace class, NOT bare \s: Java \s includes \x0B
+# but RE2 (DuckDB) \s does not — the explicit class is identical in both
+# engines (same constraint html_text.py documents for its patterns).
+WS_CLASS = "[ \\t\\r\\n\\x0B\\f]"
+SEGMENT_SPLIT = "\\." + WS_CLASS + "+"
+WORD_SPLIT = WS_CLASS + "+"
 
 
 def segment_repetition(docs: DataFrame, id_col: str = "doc_id",
@@ -85,7 +89,20 @@ def top_bigram(docs: DataFrame, id_col: str = "doc_id",
 
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
-    """Join of both signal families; one row per input document."""
+    """Join of both signal families; one row per input document.
+
+    ``top_bigram`` is total on docs (the null-bigram explode_outer row
+    keeps <2-word docs), but ``segment_repetition`` drops docs whose text
+    yields no non-empty segment — the left join + coalesce keeps those
+    with zero counts so the "one row per input document" contract holds
+    for empty-text documents too.
+    """
     a = segment_repetition(docs, id_col, text_col)
     b = top_bigram(docs, id_col, text_col)
-    return a.join(b, id_col)
+    return b.join(a, id_col, "left").select(
+        id_col,
+        F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce("n_dup_segments", F.lit(0)).cast("long")
+        .alias("n_dup_segments"),
+        "n_words", "top_bigram", "top_bigram_n",
+    )

@@ -82,6 +82,7 @@ def run_kg_pipeline(
     n_buckets: int = 16,
     num_partitions: int | None = None,
     canon_threshold: float = 0.55,
+    canon_n_bands: int = 6,
 ) -> dict:
     """Run the resumable three-stage pipeline; returns stage reports + paths."""
     spark = pages.sparkSession
@@ -133,12 +134,18 @@ def run_kg_pipeline(
     # Written AFTER both graph tables commit — a kill mid-canonicalize
     # leaves no marker and the rerun recomputes; a rerun over unchanged
     # triples skips the stage entirely.
-    extract_fp = "|".join(
-        f"{b}:{n}" for b, n in sorted(
-            (r.bucket, r.n_output) for r in
-            spark.read.parquet(lineage_path)
-            .where(F.col("stage") == "extract")
-            .select("bucket", "n_output").collect())
+    # Fingerprint = canonicalize PARAMS + CONTENT hash of the committed
+    # triples (order-independent bit_xor of per-row xxhash64 + count), not
+    # per-bucket row counts: a rerun with a different threshold/n_bands
+    # must NOT skip onto stale graph tables, and a recomputed bucket can
+    # change content without changing its count.
+    _hcols = [F.col(c) for c in triples.columns]
+    _agg = triples.select(F.xxhash64(*_hcols).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
+    ).collect()[0]
+    extract_fp = (
+        f"v2|t={canon_threshold!r}|b={canon_n_bands}"
+        f"|n={_agg['n']}|x={_agg['x']}"
     )
     # one-row parquet, not a local file: workdir may be HDFS/S3
     marker_path = os.path.join(workdir, "canonical_done")
@@ -159,7 +166,8 @@ def run_kg_pipeline(
     else:
         t0 = time.monotonic()
         nodes, edges = canonicalize(
-            triples, threshold=canon_threshold, stats=canon_stats)
+            triples, threshold=canon_threshold, n_bands=canon_n_bands,
+            stats=canon_stats)
         nodes.write.mode("overwrite").parquet(nodes_path)
         edges.write.mode("overwrite").parquet(edges_path)
         canon_stats["wall_ms"] = int((time.monotonic() - t0) * 1000)

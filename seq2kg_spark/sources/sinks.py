@@ -74,8 +74,13 @@ def write_weights_parquet(spark, weights: dict, path: str) -> None:
 
     rows = []
     for name, val in weights.items():
-        if isinstance(val, (int, float)):
-            rows.append((name, "scalar", str(val), None, None))
+        # the kind tag carries the python type so scalars round-trip
+        # exactly (2.0 stays float; 2 stays int) — no is_integer() guess
+        if isinstance(val, int) and not isinstance(val, bool):
+            rows.append((name, "scalar_int", str(val), None, None))
+            continue
+        if isinstance(val, float):
+            rows.append((name, "scalar_float", repr(val), None, None))
             continue
         arr = np.asarray(val, dtype=np.float32)
         rows.append((name, "shape", ",".join(map(str, arr.shape)), None,
@@ -100,7 +105,11 @@ def read_weights_parquet(spark, path: str) -> dict:
     data: dict[str, list] = {}
     out: dict = {}
     for r in rows:
-        if r.kind == "scalar":
+        if r.kind == "scalar_int":
+            out[r.tensor] = int(r.meta)
+        elif r.kind == "scalar_float":
+            out[r.tensor] = float(r.meta)
+        elif r.kind == "scalar":  # legacy checkpoints (pre-type-tag)
             v = float(r.meta)
             out[r.tensor] = int(v) if v.is_integer() else v
         elif r.kind == "shape":
