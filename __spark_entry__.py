@@ -31,6 +31,8 @@ from seq2kg_spark.nlp.assemble import ALL_STOP_WORDS, DROP_WORDS  # noqa: E402
 # cap — interpolating the shared constant keeps the two from drifting, and
 # tests/test_dedup_cap.py asserts the sf0.01 corpus stays under it.
 from seq2kg_spark.operators.dedup import MAX_SHINGLES_DEFAULT as _MAX_SHINGLES  # noqa: E402
+from seq2kg_spark.operators.dedup import MAX_BUCKET_DEFAULT as _MAX_BUCKET  # noqa: E402
+from seq2kg_spark.operators.dedup import MAX_DF_DEFAULT as _MAX_DF  # noqa: E402
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -1550,11 +1552,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.doc_id, s.shingle, d.source AS block
               FROM shingles s JOIN documents d USING (doc_id)
             ),
+            hot AS (
+              SELECT shingle, block FROM blocked
+              GROUP BY 1, 2 HAVING count(*) > {_MAX_DF}
+            ),
+            cold AS (
+              SELECT b.doc_id, b.shingle, b.block
+              FROM blocked b ANTI JOIN hot h
+                ON b.shingle = h.shingle AND b.block = h.block
+            ),
             sizes AS (SELECT doc_id, count(*) AS n FROM blocked GROUP BY 1),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      count(*) AS n_inter
-              FROM blocked a JOIN blocked b
+              FROM cold a JOIN cold b
                 ON a.shingle = b.shingle AND a.block = b.block
                AND a.doc_id < b.doc_id
               GROUP BY 1, 2
@@ -1590,17 +1601,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.doc_id, s.shingle, d.source AS block
               FROM shingles s JOIN documents d USING (doc_id)
             ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM blocked GROUP BY 1),
+            hot AS (
+              SELECT shingle, block FROM blocked
+              GROUP BY 1, 2 HAVING count(*) > {_MAX_DF}
+            ),
+            marked AS (
+              SELECT b.doc_id, b.shingle, b.block,
+                     h.shingle IS NOT NULL AS is_hot
+              FROM blocked b LEFT JOIN hot h
+                ON b.shingle = h.shingle AND b.block = h.block
+            ),
+            sizes AS (
+              SELECT doc_id, count(*) AS n,
+                     bool_or(is_hot) AS has_hot
+              FROM marked GROUP BY 1
+            ),
+            cold AS (SELECT doc_id, shingle, block FROM marked
+                     WHERE NOT is_hot),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      count(*) AS n_inter
-              FROM blocked a JOIN blocked b
+              FROM cold a JOIN cold b
                 ON a.shingle = b.shingle AND a.block = b.block
                AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
-                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4)
+                       AS jaccard,
+                   (sa.has_hot OR sb.has_hot) AS approx
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
@@ -1608,12 +1637,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES_CTE},
-            sig AS (
+            sig0 AS (
               SELECT doc_id, b.band,
                      min(md5(concat(CAST(b.band AS VARCHAR), ':', shingle)))
                          AS sig
               FROM shingles, generate_series(0, 7) b(band)
               GROUP BY doc_id, b.band
+            ),
+            bucket_ok AS (
+              SELECT band, sig FROM sig0
+              GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}
+            ),
+            sig AS (
+              SELECT s.* FROM sig0 s JOIN bucket_ok USING (band, sig)
             ),
             cand AS (
               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1761,12 +1797,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_retention": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
-            sig AS (
+            sig0 AS (
               SELECT doc_id, b.band,
                      min(md5(concat(CAST(b.band AS VARCHAR), ':', shingle)))
                          AS sig
               FROM shingles, generate_series(0, 7) b(band)
               GROUP BY doc_id, b.band
+            ),
+            bucket_ok AS (
+              SELECT band, sig FROM sig0
+              GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}
+            ),
+            sig AS (
+              SELECT s.* FROM sig0 s JOIN bucket_ok USING (band, sig)
             ),
             cand AS (
               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

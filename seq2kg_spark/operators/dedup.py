@@ -66,6 +66,14 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Shingle document-frequency cap: a word-k-gram shared by df documents
+# fans the equi-join out by df² rows, so one stop-phrase ("click here to",
+# a boilerplate footer gram) goes quadratic at web scale.  Shingles with
+# df > cap are dropped before the join; the DuckDB oracle twin interpolates
+# this same constant so the `approx` flag can never silently drift from it.
+MAX_DF_DEFAULT = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -73,34 +81,62 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
     k: int = 3,
+    max_df: int = MAX_DF_DEFAULT,
 ) -> DataFrame:
     """Near-dup pairs by word-k-gram Jaccard, blocked to avoid O(n²).
 
     Relational formulation (works identically in any SQL engine):
     inter = |shingles(a) ∩ shingles(b)| via equi-join on shingle;
     union = |a| + |b| - inter.
+
+    ``max_df`` is the skew guard on the shingle equi-join: shingles whose
+    document frequency (within the blocking key, when blocked) exceeds the
+    cap are dropped BEFORE the join, bounding its fan-out at
+    O(max_df²) rows per shingle instead of O(|corpus|²) for one hot
+    stop-gram.  Per-doc sizes stay TRUE sizes, so dropping only biases
+    jaccard DOWN — and only for pairs whose overlap includes stop-shingles
+    (a pair overlapping *solely* in stop-shingles is never emitted, which
+    is the point of the cap).  Pairs where either side contains a capped
+    shingle are flagged ``approx = true``; on corpora where no shingle
+    reaches the cap — the entire oracle corpus — results are exact with
+    ``approx = false`` everywhere.
     """
     sh = shingle_table(df, id_col, text_col, k)
     if block_col:
         blocks = df.select(F.col(id_col).alias("doc_id"),
                            F.col(block_col).alias("block"))
         sh = sh.join(blocks, "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle",
-                  *(["block"] if block_col else []))
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle",
-                  *(["block"] if block_col else []))
-    join_keys = ["shingle"] + (["block"] if block_col else [])
+    df_keys = ["shingle"] + (["block"] if block_col else [])
+    # shingle_table is distinct per doc, so count(*) per key IS the df.
+    # The hot set is tiny by construction (only stop-grams cross a 10k
+    # cap) — AQE sees its runtime size and broadcasts the marker join.
+    hot = (
+        sh.groupBy(*df_keys)
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select(*df_keys)
+        .withColumn("_hot", F.lit(True))
+    )
+    marked = sh.join(hot, df_keys, "left")
+    sizes = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.max(F.coalesce("_hot", F.lit(False))).alias("_has_hot"),
+    )
+    cold = marked.where(F.col("_hot").isNull()).select("doc_id", *df_keys)
+    a = cold.select(F.col("doc_id").alias("doc_a"), *df_keys)
+    b = cold.select(F.col("doc_id").alias("doc_b"), *df_keys)
     inter = (
-        a.join(b, join_keys)
+        a.join(b, df_keys)
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_shingles").alias("n_a"))
+                      F.col("n_shingles").alias("n_a"),
+                      F.col("_has_hot").alias("_hot_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_shingles").alias("n_b"))
+                      F.col("n_shingles").alias("n_b"),
+                      F.col("_has_hot").alias("_hot_b"))
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
@@ -111,8 +147,9 @@ def ngram_jaccard_pairs(
                 4,
             ),
         )
+        .withColumn("approx", F.col("_hot_a") | F.col("_hot_b"))
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard", "approx")
     )
 
 
@@ -142,6 +179,13 @@ def minhash_signatures(
 # this same constant so the `approx` flag can never silently drift from it.
 MAX_SHINGLES_DEFAULT = 2048
 
+# (band, sig) hot-bucket cap for the LSH self-join: a bucket of n members
+# emits n² candidate rows, so one hot signature (template pages, empty or
+# boilerplate-identical docs) goes quadratic at web scale.  Buckets over
+# the cap are dropped before the join — same guard, same constant shape as
+# canonicalize.similarity_edges; the oracle twin interpolates it.
+MAX_BUCKET_DEFAULT = 10_000
+
 
 def minhash_lsh_pairs(
     df: DataFrame,
@@ -152,6 +196,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     hash_fn: str = "md5",
     max_shingles: int = MAX_SHINGLES_DEFAULT,
+    max_bucket: int = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """MinHash/LSH near-dup detection: shingle → banded min-sig → bucket
     join → Jaccard verify.  Output: (doc_a, doc_b, jaccard ≥ threshold).
@@ -165,9 +210,24 @@ def minhash_lsh_pairs(
     prefix, so heavy overlap still surfaces — and the pair is flagged
     ``approx = true`` (two over-cap docs differing only past the cap can
     estimate 1.0; the flag makes that visible instead of silently exact).
+
+    ``max_bucket`` caps the (band, sig) bucket width fed to the candidate
+    self-join — see :data:`MAX_BUCKET_DEFAULT`.
     """
     sh = shingle_table(df, id_col, text_col, k).cache()
     sig = minhash_signatures(sh, n_bands, hash_fn)
+    # Hot-bucket guard (drop-before-join): members of an over-cap bucket
+    # contribute no candidates from that band — true near-dups usually
+    # collide in a calmer band too, and exact duplicates are dedup_exact's
+    # job.  Bounds the self-join at O(n_bands · max_bucket²) rows per
+    # bucket, never O(|corpus|²) for one hot signature.
+    bucket_ok = (
+        sig.groupBy("band", "sig")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select("band", "sig")
+    )
+    sig = sig.join(bucket_ok, ["band", "sig"])
     cand = (
         sig.alias("x")
         .join(sig.alias("y"), ["band", "sig"])

@@ -59,3 +59,48 @@ def test_oracle_corpus_under_cap(spark):
     sh = shingle_table(docs, "doc_id", "text", 3)
     mx = sh.groupBy("doc_id").count().agg(F.max("count")).first()[0]
     assert mx <= MAX_SHINGLES_DEFAULT
+
+
+def test_minhash_hot_bucket_guard(spark):
+    """10k identical docs must not emit ~10^8 candidate pairs: an over-cap
+    (band, sig) bucket is dropped before the self-join (identical docs are
+    dedup_exact's job).  Scaled-down here: 200 identical docs, cap 50."""
+    same = "every page of this template says exactly the same thing forever"
+    rows = [(i, same) for i in range(200)]
+    rows += [(1001, "the quick brown fox jumps over the lazy dog today"),
+             (1002, "the quick brown fox jumps over the lazy dog today!")]
+    df = _mk(spark, rows)
+
+    pairs = minhash_lsh_pairs(df, threshold=0.3, max_bucket=50).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # the hot bucket contributed nothing…
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    # …but the calm near-dup pair still verifies
+    assert (1001, 1002) in got
+
+    # without the guard the identical docs pair up quadratically
+    full = minhash_lsh_pairs(df, threshold=0.3).collect()
+    assert sum(1 for r in full if r.doc_a < 1000) == 200 * 199 // 2
+
+
+def test_ngram_df_cap_drops_stop_shingles(spark):
+    """A shingle shared by every doc fans the equi-join out by df² — the
+    df-cap drops it before the join; pairs overlapping ONLY in stop-
+    shingles disappear, pairs with cold overlap survive flagged approx."""
+    from seq2kg_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"STOP STOP STOP u{i} v{i}") for i in range(100)]
+    rows += [(201, "alpha beta gamma delta STOP STOP STOP"),
+             (202, "alpha beta gamma delta STOP STOP STOP")]
+    df = _mk(spark, rows)
+
+    capped = ngram_jaccard_pairs(df, threshold=0.05, max_df=50).collect()
+    got = {(r.doc_a, r.doc_b): r for r in capped}
+    assert not any(a < 200 and b < 200 for a, b in got)   # hot-only pairs gone
+    assert (201, 202) in got and got[(201, 202)].approx is True
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.05,
+                                   max_df=10**6).collect()
+    ug = {(r.doc_a, r.doc_b): r for r in uncapped}
+    assert any(a < 200 and b < 200 for a, b in ug)        # join fans out
+    assert all(not r.approx for r in uncapped)            # nothing capped
