@@ -406,11 +406,23 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_ann_ivf_int(spark, sf_dir):
     """IVF over a fixed integer codebook, quantized-int re-rank — exact
-    DuckDB oracle (every step is 64-bit integer arithmetic)."""
-    from seq2kg_spark.operators.ann import ivf_topk_int
+    DuckDB oracle (every step is 64-bit integer arithmetic).  The codebook
+    is served through the S8 weights sink (table → broadcast, no driver
+    literal): written once per process, read back by path — the production
+    serving shape for an offline-trained coarse quantizer."""
+    import os
+    import tempfile
 
+    from seq2kg_spark.operators.ann import (fixed_codebook, ivf_topk_int,
+                                            write_codebook)
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"seq2kg_codebook_ivf_int_{os.getpid()}")
+    if not getattr(q_ann_ivf_int, "_written", False):
+        write_codebook(spark, fixed_codebook(), path)
+        q_ann_ivf_int._written = True
     return ivf_topk_int(_t(spark, sf_dir, "embeddings"),
-                        query_ids=list(range(5)), k=5)
+                        query_ids=list(range(5)), k=5, codebook=path)
 
 
 def q_kg_m4_decode(spark, sf_dir):

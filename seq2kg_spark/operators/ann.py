@@ -389,6 +389,8 @@ def ivf_topk(
     the production mode; without it a k-means fit runs inline first.
     """
     spark = emb.sparkSession
+    if isinstance(codebook, str):  # path → S8 weights sink (serving mode)
+        codebook = read_codebook(spark, codebook)
     cents = codebook if codebook is not None else kmeans_centroids(
         emb, k=n_cells, id_col=id_col, vec_col=vec_col, dim=dim)
     # ONE UDF pass computes the n_probe nearest cells; the corpus keeps
@@ -421,6 +423,35 @@ def ivf_topk(
     )
 
 
+def write_codebook(spark, centroids, path: str) -> None:
+    """Persist a trained coarse quantizer through the S8 weights sink
+    (``sources/sinks.py``) so IVF serving reads table → broadcast with no
+    driver-side literal: the offline k-means job checkpoints its codebook
+    next to the pipeline's other tables (HDFS/S3-safe), and every serving
+    query loads it by path.  float32 storage is exact for integer
+    codebooks up to 2^24 (the quantized grid is ~quant·|x| ≤ a few
+    thousand), so the int path round-trips bit-for-bit."""
+    from ..sources.sinks import write_weights_parquet
+
+    arr = np.asarray(centroids, dtype=np.float32)
+    write_weights_parquet(spark, {
+        "codebook": arr,
+        "n_cells": int(arr.shape[0]),
+        "dim": int(arr.shape[1]),
+    }, path)
+
+
+def read_codebook(spark, path: str, integer: bool = False):
+    """Inverse of :func:`write_codebook`; ``integer=True`` restores the
+    exact int64 grid (rint on fp32-exact values, not a float cast)."""
+    from ..sources.sinks import read_weights_parquet
+
+    arr = read_weights_parquet(spark, path)["codebook"]
+    if integer:
+        return np.rint(arr).astype(np.int64).tolist()
+    return [[float(x) for x in row] for row in arr]
+
+
 def fixed_codebook(n_cells: int = 8, dim: int = 64, seed: int = 7,
                    quant: int = 1000) -> list[list[int]]:
     """Deterministic integer coarse-quantizer codebook (offline-trained
@@ -440,6 +471,7 @@ def ivf_topk_int(
     n_cells: int = 8,
     dim: int = 64,
     quant: int = 1000,
+    codebook: list[list[int]] | str | None = None,
 ) -> DataFrame:
     """IVF top-k over a FIXED integer codebook with quantized-int re-rank —
     every arithmetic step is exact 64-bit integer math, so a DuckDB oracle
@@ -452,7 +484,10 @@ def ivf_topk_int(
     the corpus, re-rank is in-cell only.
     """
     spark = emb.sparkSession
-    cents = fixed_codebook(n_cells=n_cells, dim=dim, quant=quant)
+    if isinstance(codebook, str):  # path → S8 weights sink (serving mode)
+        codebook = read_codebook(spark, codebook, integer=True)
+    cents = codebook if codebook is not None else fixed_codebook(
+        n_cells=n_cells, dim=dim, quant=quant)
     # ONE UDF pass (n_probe nearest cells per row): the corpus keeps its
     # home cell cells[0], queries explode all probes.  A neighbor is in
     # exactly one cell ⇒ pairs are already unique — no dedup shuffle.

@@ -71,3 +71,23 @@ def test_kmeans_high_dim_no_column_fanout(spark):
     cents = kmeans_centroids(emb, k=3, n_iter=1, dim=768)
     assert len(cents) == 3 and all(len(c) == 768 for c in cents)
     assert all(np.isfinite(np.asarray(c)).all() for c in cents)
+
+
+def test_codebook_sink_roundtrip_serving(spark, tmp_path):
+    """Serving path: codebook persisted through the S8 weights sink, read
+    back by path — results identical to the in-memory codebook, int grid
+    restored exactly (fp32 is exact on the quantized integer range)."""
+    from seq2kg_spark.operators.ann import (fixed_codebook, ivf_topk_int,
+                                            read_codebook, write_codebook)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = fixed_codebook()
+    path = str(tmp_path / "cb")
+    write_codebook(spark, cb, path)
+    assert read_codebook(spark, path, integer=True) == cb
+
+    direct = sorted(map(tuple, ivf_topk_int(
+        emb, query_ids=[0, 1, 2], k=5).collect()))
+    served = sorted(map(tuple, ivf_topk_int(
+        emb, query_ids=[0, 1, 2], k=5, codebook=path).collect()))
+    assert direct == served
