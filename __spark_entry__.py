@@ -712,6 +712,28 @@ def q_kg_mention_norms(spark, sf_dir):
         "mention", "norm", F.col("freq").cast("long").alias("freq"))
 
 
+def q_kg_similarity_edges(spark, sf_dir):
+    """Canonicalize stage 2 (blocking + verify): banded char-shingle
+    MinHash over normalized mentions, hot-bucket guard, Jaccard >= 0.55
+    verification — the same-entity candidate edges that feed connected
+    components.  hash_fn='md5' makes every step cross-engine exact
+    (hex min-signatures agree lexicographically); the DuckDB twin
+    replays shingles → banded sigs → guarded self-join → verify.  With
+    kg_mention_norms (stage 1) and graph_connected_components (stage 4)
+    this anchors kg_canonical_nodes end-to-end by exact rows."""
+    from seq2kg_spark.operators.canonicalize import (mentions_from_triples,
+                                                     similarity_edges)
+
+    part = _t(spark, sf_dir, "part")
+    trip = part.select(
+        F.col("p_name").alias("subj"),
+        F.lit("has_type").alias("pred"),
+        F.concat(F.lit("  "), F.col("p_type"), F.lit(" 's")).alias("obj"),
+    )
+    m = mentions_from_triples(trip)
+    return similarity_edges(m, threshold=0.55, hash_fn="md5")
+
+
 def q_kg_canonical_nodes(spark, sf_dir):
     """Full canonicalization over extracted triples (rows-only check)."""
     from seq2kg_spark.operators.canonicalize import canonicalize
@@ -1039,6 +1061,65 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def _kg_similarity_edges_oracle() -> str:
+    """DuckDB twin of canonicalize.similarity_edges over the part-table
+    mention fixture: normalize → char-3-shingles → banded md5 MinHash →
+    hot-bucket-guarded self-join → Jaccard ≥ 0.55 verify.  The bucket cap
+    interpolates SIM_MAX_BUCKET_DEFAULT so guard and twin cannot drift."""
+    from seq2kg_spark.operators.canonicalize import SIM_MAX_BUCKET_DEFAULT
+
+    norm = (
+        "regexp_replace(regexp_replace(regexp_replace(lower(mention), "
+        "'''s$', ''), '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g'), "
+        "'\\s+', ' ', 'g')"
+    )
+    return f"""
+        WITH surfaces AS (
+          SELECT unnest([p_name, '  ' || p_type || ' ''s']) AS mention
+          FROM part
+        ),
+        norms AS (
+          SELECT DISTINCT {norm} AS norm FROM surfaces
+          WHERE {norm} <> ''
+        ),
+        shing AS (
+          SELECT norm,
+                 unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(norm) - 2, 1)),
+                     i -> substr(norm, CAST(i AS INTEGER), 3)))) AS shingle
+          FROM norms
+        ),
+        bands AS (
+          SELECT norm, shingle, b.band,
+                 md5(concat(CAST(b.band AS VARCHAR), ':', shingle)) AS h
+          FROM shing, generate_series(0, 5) b(band)
+        ),
+        sig0 AS (SELECT norm, band, min(h) AS sig FROM bands GROUP BY 1, 2),
+        bucket_ok AS (
+          SELECT band, sig FROM sig0
+          GROUP BY 1, 2 HAVING count(*) <= {SIM_MAX_BUCKET_DEFAULT}
+        ),
+        sig AS (SELECT s.* FROM sig0 s JOIN bucket_ok USING (band, sig)),
+        cand AS (
+          SELECT DISTINCT x.norm AS a, y.norm AS b
+          FROM sig x JOIN sig y
+            ON x.band = y.band AND x.sig = y.sig AND x.norm < y.norm
+        ),
+        sizes AS (SELECT norm, count(*) AS n FROM shing GROUP BY 1),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS n_inter
+          FROM cand c
+          JOIN shing sa ON sa.norm = c.a
+          JOIN shing sb ON sb.norm = c.b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        )
+        SELECT i.a, i.b FROM inter i
+        JOIN sizes za ON za.norm = i.a
+        JOIN sizes zb ON zb.norm = i.b
+        WHERE n_inter * 1.0 / (za.n + zb.n - n_inter) >= 0.55
+    """
+
+
 def _repetition_stats_oracle() -> str:
     # [ \t\r\n\x0B\f]: spelled-out ASCII whitespace class, mirroring
     # repetition.WS_CLASS — bare \s diverges between Java (includes \x0B)
@@ -1134,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "graph_connected_components": q_graph_connected_components,
         "kg_mention_norms": q_kg_mention_norms,
+        "kg_similarity_edges": q_kg_similarity_edges,
         "kg_extract_triples": q_kg_extract_triples,
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "kg_neural_triples": q_kg_neural_triples,
@@ -1535,6 +1617,7 @@ def oracle_sql() -> dict[str, str]:
                         greatest(sum(n_gold), 1)) AS BIGINT) AS micro_r_e4
             FROM per_doc
         """,
+        "kg_similarity_edges": _kg_similarity_edges_oracle(),
         "kg_mention_norms": """
             WITH surfaces AS (
               SELECT unnest([p_name, '  ' || p_type || ' ''s']) AS mention

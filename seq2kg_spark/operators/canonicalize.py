@@ -62,12 +62,18 @@ def _char_shingles(col, k: int = 3):
     )
 
 
+# Hot-bucket cap on the (band, sig) self-join; the DuckDB oracle twin
+# interpolates this same constant (pattern: dedup.MAX_BUCKET_DEFAULT).
+SIM_MAX_BUCKET_DEFAULT = 10_000
+
+
 def similarity_edges(
     mentions: DataFrame,
     threshold: float = 0.55,
     n_bands: int = 6,
     k: int = 3,
-    max_bucket: int = 10_000,
+    max_bucket: int = SIM_MAX_BUCKET_DEFAULT,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Same-entity candidate edges between *normalized* mention strings.
 
@@ -92,7 +98,16 @@ def similarity_edges(
     bands = sh.select(
         "norm", "shingle",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn("h", F.xxhash64("band", "shingle"))
+    )
+    # xxhash64 (8-byte ints, JVM-side) is the scale path; md5 hex strings
+    # are cross-engine-identical for the DuckDB oracle twin — same seam as
+    # dedup.minhash_signatures.
+    if hash_fn == "md5":
+        h = F.md5(F.concat_ws(":", F.col("band").cast("string"),
+                              F.col("shingle")))
+    else:
+        h = F.xxhash64(F.col("band"), F.col("shingle"))
+    bands = bands.withColumn("h", h)
     sig = bands.groupBy("norm", "band").agg(F.min("h").alias("sig"))
     bucket_ok = (
         sig.groupBy("band", "sig")
