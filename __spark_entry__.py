@@ -1061,6 +1061,92 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_gru_forward_int(spark, sf_dir):
+    """M1's recurrence with a hash-exact driver oracle: fixed-point integer
+    GRU (hard gates, floor-divide downscales) over embeddings reshaped to
+    8 timesteps × 8 dims — every arithmetic step is engine-exact, so the
+    DuckDB twin replays the full forward with a recursive CTE.  The fp32
+    production BiGRU (kg_neural_triples) stays rows-only by BLAS nature;
+    this row anchors the forward's structure (nlp/gru.py gru_forward_int,
+    reference semantics joint_model/model.py:43-98)."""
+    from seq2kg_spark.nlp.gru import gru_forward_int
+    from seq2kg_spark.packaging import ship_package
+
+    ship_package(spark)
+    return gru_forward_int(_t(spark, sf_dir, "embeddings"))
+
+
+def _gru_forward_int_oracle() -> str:
+    """DuckDB twin of gru_forward_int: md5-derived integer weights inlined
+    as list literals, the T=8 time loop UNROLLED into a generated CTE chain
+    (DuckDB 1.0 lambdas cannot capture outer columns inside a recursive
+    member, so recursion is out; unrolling also lets each gate be one
+    list_transform).  Gate dots are list_dot_product over int lists —
+    double-accumulated integer sums, exact below 2^53 (max |preact| < 2^26
+    here); downscales are the same floor(x / 4.0) / floor(x / 1024.0) ops
+    as the numpy side."""
+    from seq2kg_spark.nlp.gru import FX_SCALE, int_gru_weights
+
+    T = D = H = 8
+    S = FX_SCALE
+    w = int_gru_weights(D=D, H=H)
+
+    def mat(g):
+        return "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]" for row in w[g]) + "]"
+
+    def vec(g):
+        return "[" + ", ".join(str(v) for v in w[g]) + "]"
+
+    carry = "vec_id, qv, wz, wr, wh, uz, ur, uh, bz, br, bh"
+    gs = f"generate_series(1, {H})"
+    zero = "[" + ", ".join(["CAST(0 AS BIGINT)"] * H) + "]"
+    clamp01 = (f"greatest(CAST(0 AS BIGINT), least(CAST({S} AS BIGINT), "
+               f"{S // 2} + CAST(floor((CAST(list_dot_product({{W}}[j], xt)"
+               f" AS BIGINT) + CAST(list_dot_product({{U}}[j], h) AS BIGINT)"
+               f" + {{B}}[j]) / 4.0) AS BIGINT)))")
+    n_expr = (f"greatest(CAST(-{S} AS BIGINT), least(CAST({S} AS BIGINT), "
+              f"CAST(floor((CAST(list_dot_product(wh[j], xt) AS BIGINT) + "
+              f"CAST(floor(CAST(list_dot_product(uh[j], rh) AS BIGINT) / "
+              f"{S}.0) AS BIGINT) + bh[j]) / 4.0) AS BIGINT)))")
+    h2_expr = (f"CAST(floor((({S} - z[j]) * n[j] + z[j] * h[j]) / {S}.0) "
+               f"AS BIGINT)")
+    ctes = [
+        f"""q AS (
+          SELECT vec_id, list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                 AS qv,
+                 {mat('wz')} AS wz, {mat('wr')} AS wr, {mat('wh')} AS wh,
+                 {mat('uz')} AS uz, {mat('ur')} AS ur, {mat('uh')} AS uh,
+                 {vec('bz')} AS bz, {vec('br')} AS br, {vec('bh')} AS bh
+          FROM embeddings
+        )""",
+        f"s0 AS (SELECT {carry}, {zero} AS h FROM q)",
+    ]
+    for t in range(T):
+        zx = clamp01.format(W="wz", U="uz", B="bz")
+        rx = clamp01.format(W="wr", U="ur", B="br")
+        ctes.append(
+            f"p{t} AS (SELECT {carry}, h, list_slice(qv, {t * D + 1}, "
+            f"{t * D + D}) AS xt FROM s{t})")
+        ctes.append(
+            f"a{t} AS (SELECT {carry}, h, xt, "
+            f"list_transform({gs}, j -> {zx}) AS z, "
+            f"list_transform({gs}, j -> {rx}) AS r FROM p{t})")
+        ctes.append(
+            f"b{t} AS (SELECT {carry}, h, xt, z, "
+            f"list_transform({gs}, i -> r[i] * h[i]) AS rh FROM a{t})")
+        ctes.append(
+            f"c{t} AS (SELECT {carry}, h, z, "
+            f"list_transform({gs}, j -> {n_expr}) AS n FROM b{t})")
+        ctes.append(
+            f"s{t + 1} AS (SELECT {carry}, "
+            f"list_transform({gs}, j -> {h2_expr}) AS h FROM c{t})")
+    outcols = ", ".join(f"h[{j + 1}] AS h{j}" for j in range(H))
+    return ("WITH " + ",\n        ".join(ctes)
+            + f"\n        SELECT vec_id, {outcols} FROM s{T}")
+
+
 def _kg_similarity_edges_oracle() -> str:
     """DuckDB twin of canonicalize.similarity_edges over the part-table
     mention fixture: normalize → char-3-shingles → banded md5 MinHash →
@@ -1216,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_graph_connected_components,
         "kg_mention_norms": q_kg_mention_norms,
         "kg_similarity_edges": q_kg_similarity_edges,
+        "gru_forward_int": q_gru_forward_int,
         "kg_extract_triples": q_kg_extract_triples,
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "kg_neural_triples": q_kg_neural_triples,
@@ -1618,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc
         """,
         "kg_similarity_edges": _kg_similarity_edges_oracle(),
+        "gru_forward_int": _gru_forward_int_oracle(),
         "kg_mention_norms": """
             WITH surfaces AS (
               SELECT unnest([p_name, '  ' || p_type || ' ''s']) AS mention

@@ -248,3 +248,99 @@ def tags_to_triples(
                 "obj_types": sorted(t[4]),
             })
     return out
+
+
+# --------------------------------------------------------------------------
+# Fixed-point GRU forward (engine-exact twin of M1's recurrence shape).
+#
+# The fp32 BiGRU above is allclose-pinned (BLAS low bits vary across kernel
+# shapes), so its driver-oracle row is rows-only.  This variant anchors the
+# GRU FORWARD itself with a hash-exact row: the same recurrence structure
+# as _gru_direction (z/r gates from input+recurrent projections, candidate
+# through r⊙h, convex state update — joint_model/model.py:43-98), but in
+# 64-bit integer fixed-point with hard-sigmoid/hard-tanh gates, where every
+# step — int matmul, floor-divide-by-power-of-two downscale, clamp — is
+# bit-reproducible in ANY engine (the DuckDB twin replays it with a
+# recursive CTE over list_dot_product).  Same exactness trick as
+# ann.lsh_topk_int / ivf_topk_int.
+#
+# Scale S = 1024 (2^10): gate outputs live in [0, S], states in [-S, S];
+# downscales are floor(x / 4.0) and floor(x / 1024.0) — exact in IEEE
+# double for |x| < 2^52 (max |preact| here is < 2^26: |W| < 64, |x_q| < 4k,
+# D = H = 8).
+# --------------------------------------------------------------------------
+
+FX_SCALE = 1024
+
+
+def int_gru_weights(D: int = 8, H: int = 8, seed: int = 11,
+                    scale: int = 64) -> dict:
+    """Deterministic small-int GRU weights (md5-derived — no RNG, so the
+    DuckDB twin inlines the identical literals; int_hyperplanes pattern)."""
+    import hashlib
+
+    def val(tag: str, j: int, i: int) -> int:
+        b = hashlib.md5(f"{seed}:{tag}:{j}:{i}".encode()).digest()
+        return int.from_bytes(b[:2], "big") % (2 * scale) - scale
+
+    w = {}
+    for g in ("wz", "wr", "wh"):
+        w[g] = [[val(g, j, i) for i in range(D)] for j in range(H)]
+    for g in ("uz", "ur", "uh"):
+        w[g] = [[val(g, j, i) for i in range(H)] for j in range(H)]
+    for g in ("bz", "br", "bh"):
+        w[g] = [val(g, j, 0) * 8 for j in range(H)]
+    return w
+
+
+def gru_forward_int(emb, id_col: str = "vec_id", vec_col: str = "embedding",
+                    T: int = 8, D: int = 8, H: int = 8, seed: int = 11):
+    """(vec_id, h0..h{H-1}): final hidden state of the fixed-point GRU over
+    the embedding reshaped to T timesteps × D dims.
+
+    Quantization to the int grid happens in Catalyst (ann.quantized — the
+    proven cross-engine round) BEFORE the Arrow batch, so the UDF is pure
+    int64 numpy mirroring the production forward's structure: one input
+    matmul per gate, recurrent matmuls against the running state, fused
+    elementwise gate math.  Weights ride the task closure (tiny); the
+    100 TB path broadcasts them once per executor like tagger inference.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.ann import quantized
+
+    w = int_gru_weights(D=D, H=H, seed=seed)
+    Wz, Wr, Wh = (np.array(w[g], dtype=np.int64) for g in ("wz", "wr", "wh"))
+    Uz, Ur, Uh = (np.array(w[g], dtype=np.int64) for g in ("uz", "ur", "uh"))
+    bz, br, bh = (np.array(w[g], dtype=np.int64) for g in ("bz", "br", "bh"))
+    S = FX_SCALE
+
+    def _fdiv(x: np.ndarray, d: float) -> np.ndarray:
+        # floor(x / d) via double — the exact op the SQL twin uses
+        return np.floor(x / d).astype(np.int64)
+
+    # no annotations on fwd: module-level `from __future__ import
+    # annotations` stringifies them and pandas_udf can't resolve 'pd.Series'
+    @pandas_udf("array<long>")
+    def fwd(qvs):
+        X = np.stack([np.asarray(v, dtype=np.int64) for v in qvs])
+        B = X.shape[0]
+        X = X[:, : T * D].reshape(B, T, D)
+        h = np.zeros((B, H), dtype=np.int64)
+        for t in range(T):
+            xt = X[:, t, :]
+            z = np.clip(S // 2 + _fdiv(xt @ Wz.T + h @ Uz.T + bz, 4.0), 0, S)
+            r = np.clip(S // 2 + _fdiv(xt @ Wr.T + h @ Ur.T + br, 4.0), 0, S)
+            ac = xt @ Wh.T + _fdiv((r * h) @ Uh.T, float(S)) + bh
+            n = np.clip(_fdiv(ac, 4.0), -S, S)
+            h = _fdiv((S - z) * n + z * h, float(S))
+        return pd.Series(list(h))
+
+    out = emb.select(
+        F.col(id_col).alias("vec_id"),
+        fwd(quantized(F.col(vec_col))).alias("h"),
+    )
+    return out.select(
+        "vec_id", *[F.col("h")[j].alias(f"h{j}") for j in range(H)])

@@ -135,3 +135,18 @@ def test_weights_checkpoint_roundtrip_exact(spark, tmp_path):
     a_tr, a_et = forward_logits(x, w)
     b_tr, b_et = forward_logits(x, w2)
     assert np.array_equal(a_tr, b_tr) and np.array_equal(a_et, b_et)
+
+
+def test_gru_forward_int_deterministic_and_input_sensitive(spark):
+    """Fixed-point GRU (the hash-exact M1 anchor): deterministic across
+    runs, sensitive to its input, states clamped to the fixed-point range."""
+    from seq2kg_spark.nlp.gru import FX_SCALE, gru_forward_int
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, gru_forward_int(emb).collect()))
+    b = sorted(map(tuple, gru_forward_int(emb).collect()))
+    assert a == b and len(a) == emb.count()
+    # state stays in the fixed-point range and actually varies by input
+    flat = [v for row in a for v in row[1:]]
+    assert max(abs(v) for v in flat) <= FX_SCALE
+    assert len({row[1:] for row in a}) > len(a) // 2
