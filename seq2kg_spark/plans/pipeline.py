@@ -83,8 +83,15 @@ def run_kg_pipeline(
     num_partitions: int | None = None,
     canon_threshold: float = 0.55,
     canon_n_bands: int = 6,
+    extractor: str = "rule",
 ) -> dict:
-    """Run the resumable three-stage pipeline; returns stage reports + paths."""
+    """Run the resumable three-stage pipeline; returns stage reports + paths.
+
+    ``extractor``: ``"rule"`` (chunker/POS path, operators/extract.py) or
+    ``"neural"`` (the BiGRU joint-model path, operators/tagger_infer.py —
+    THE Seq2KG model).  Both share the same bucket-grain checkpoint/resume
+    machinery; the neural stage broadcasts its weights once per run.
+    """
     spark = pages.sparkSession
     curated_path = os.path.join(workdir, "curated")
     triples_path = os.path.join(workdir, "triples")
@@ -102,10 +109,14 @@ def run_kg_pipeline(
     pages = spark.read.parquet(curated_path).drop("bucket")
 
     def extract_stage(bucketed: DataFrame) -> DataFrame:
-        t = extract_triples(
-            bucketed.select("url", "text", "lang", "bucket"),
-            num_partitions=num_partitions,
-        )
+        cols = bucketed.select("url", "text", "lang", "bucket")
+        if extractor == "neural":
+            from seq2kg_spark.operators.tagger_infer import (
+                neural_extract_triples)
+
+            t = neural_extract_triples(cols, num_partitions=num_partitions)
+        else:
+            t = extract_triples(cols, num_partitions=num_partitions)
         # re-derive the bucket from url: deterministic, survives the UDF
         from pyspark.sql import functions as F
 

@@ -69,12 +69,14 @@ def main() -> None:
     elif mode == "run":
         pages_path, workdir = sys.argv[2], sys.argv[3]
         n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+        extractor = sys.argv[5] if len(sys.argv) > 5 else "rule"
         from seq2kg_spark.plans.pipeline import run_kg_pipeline
         from seq2kg_spark.sources.pages import read_pages
 
         pages = read_pages(spark, pages_path)
         t0 = time.monotonic()
-        report = run_kg_pipeline(pages, workdir, n_buckets=n_buckets)
+        report = run_kg_pipeline(pages, workdir, n_buckets=n_buckets,
+                                 extractor=extractor)
         wall = time.monotonic() - t0
         counts = {
             name: spark.read.parquet(report["paths"][name]).count()
@@ -93,6 +95,7 @@ def main() -> None:
             "wall_s": round(wall, 1),
             "cpus": int(cpus),
             "n_buckets": n_buckets,
+            "extractor": extractor,
             "curate": {k: (len(v) if isinstance(v, list) else v)
                        for k, v in report["curate"].items() if k != "run_id"},
             "extract": {k: (len(v) if isinstance(v, list) else v)
