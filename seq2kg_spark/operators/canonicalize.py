@@ -64,7 +64,15 @@ def _char_shingles(col, k: int = 3):
 
 # Hot-bucket cap on the (band, sig) self-join; the DuckDB oracle twin
 # interpolates this same constant (pattern: dedup.MAX_BUCKET_DEFAULT).
-SIM_MAX_BUCKET_DEFAULT = 10_000
+#
+# 1k, not 10k: a bucket at the cap costs O(cap²) candidate rows, and on a
+# high-cardinality mention table MANY buckets sit at the cap (measured on
+# the 500k-page neural path: 4.07M distinct norms → with cap=10k the guard
+# still admits ~6.9e8 candidates per 500k-norm sample, max bucket 362k
+# wide; cap=1k admits 3.9e6).  True same-entity mention pairs live in
+# narrow buckets — a 100k-wide char-shingle bucket is a stop-pattern, not
+# an entity cluster.
+SIM_MAX_BUCKET_DEFAULT = 1_000
 
 
 def similarity_edges(
@@ -259,15 +267,18 @@ def canonicalize(
     threshold: float = 0.55,
     n_bands: int = 6,
     stats: dict | None = None,
+    max_bucket: int = SIM_MAX_BUCKET_DEFAULT,
 ) -> tuple[DataFrame, DataFrame]:
     """triples → (nodes, edges) canonical graph tables.
 
     ``stats`` (optional dict) is filled with convergence telemetry:
     ``cc_rounds`` / ``cc_edges`` from the large/small-star loop and
     ``distinct_mentions`` — the scale drivers a cluster operator watches.
+    ``max_bucket`` is the LSH hot-bucket cap (similarity_edges).
     """
     mentions = mentions_from_triples(triples).cache()
-    sim = similarity_edges(mentions, threshold=threshold, n_bands=n_bands)
+    sim = similarity_edges(mentions, threshold=threshold, n_bands=n_bands,
+                           max_bucket=max_bucket)
     comp = connected_components(sim, stats=stats)
     if stats is not None:
         stats["distinct_mentions"] = (

@@ -83,6 +83,7 @@ def run_kg_pipeline(
     num_partitions: int | None = None,
     canon_threshold: float = 0.55,
     canon_n_bands: int = 6,
+    canon_max_bucket: int | None = None,
     extractor: str = "rule",
 ) -> dict:
     """Run the resumable three-stage pipeline; returns stage reports + paths.
@@ -154,8 +155,11 @@ def run_kg_pipeline(
     _agg = triples.select(F.xxhash64(*_hcols).alias("h")).agg(
         F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
     ).collect()[0]
+    from seq2kg_spark.operators.canonicalize import SIM_MAX_BUCKET_DEFAULT
+    if canon_max_bucket is None:
+        canon_max_bucket = SIM_MAX_BUCKET_DEFAULT
     extract_fp = (
-        f"v2|t={canon_threshold!r}|b={canon_n_bands}"
+        f"v2|t={canon_threshold!r}|b={canon_n_bands}|m={canon_max_bucket}"
         f"|n={_agg['n']}|x={_agg['x']}"
     )
     # one-row parquet, not a local file: workdir may be HDFS/S3
@@ -178,7 +182,7 @@ def run_kg_pipeline(
         t0 = time.monotonic()
         nodes, edges = canonicalize(
             triples, threshold=canon_threshold, n_bands=canon_n_bands,
-            stats=canon_stats)
+            max_bucket=canon_max_bucket, stats=canon_stats)
         nodes.write.mode("overwrite").parquet(nodes_path)
         edges.write.mode("overwrite").parquet(edges_path)
         canon_stats["wall_ms"] = int((time.monotonic() - t0) * 1000)
