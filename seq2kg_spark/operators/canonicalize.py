@@ -100,23 +100,39 @@ def similarity_edges(
     O(n_bands · max_bucket²) rows per bucket, never O(|mentions|²).
     """
     norms = mentions.select("norm").distinct()
-    sh = norms.select(
-        "norm", F.explode(_char_shingles(F.col("norm"), k)).alias("shingle")
-    )
-    bands = sh.select(
-        "norm", "shingle",
+    # Mentions are SHORT strings (a few hundred chars max), so the full
+    # shingle set of a norm fits in one array cell — never materialize
+    # (norm × shingle) or (norm × shingle × band) rows.  The former
+    # explode-based formulation shuffled the 116M-row shingle table three
+    # times at 500k-page/4M-norm scale (~7 GiB per exchange, >70 GiB of
+    # shuffle total, disk-exhausting a 250 GB node); this one's only
+    # shuffled rows are the (norm, band, sig) triples and the candidate
+    # pairs themselves (same shape as dedup.minhash_lsh_pairs' set-join
+    # verification).
+    norm_sets = norms.select(
+        "norm",
+        F.array_sort(_char_shingles(F.col("norm"), k)).alias("shingles"),
+    ).persist()
+    # Banded min-signatures without exploding shingles: per (norm, band),
+    # sig = min over the row's shingle array of hash(band, shingle) — a
+    # narrow transform + array_min.  xxhash64 (8-byte ints, JVM-side) is
+    # the scale path; md5 hex strings are cross-engine-identical for the
+    # DuckDB oracle twin — same seam as dedup.minhash_signatures (string
+    # min is lexicographic in both formulations).
+    banded = norm_sets.select(
+        "norm", "shingles",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     )
-    # xxhash64 (8-byte ints, JVM-side) is the scale path; md5 hex strings
-    # are cross-engine-identical for the DuckDB oracle twin — same seam as
-    # dedup.minhash_signatures.
     if hash_fn == "md5":
-        h = F.md5(F.concat_ws(":", F.col("band").cast("string"),
-                              F.col("shingle")))
+        h = F.array_min(F.transform(
+            F.col("shingles"),
+            lambda s: F.md5(F.concat_ws(
+                ":", F.col("band").cast("string"), s)),
+        ))
     else:
-        h = F.xxhash64(F.col("band"), F.col("shingle"))
-    bands = bands.withColumn("h", h)
-    sig = bands.groupBy("norm", "band").agg(F.min("h").alias("sig"))
+        h = F.array_min(F.transform(
+            F.col("shingles"), lambda s: F.xxhash64(F.col("band"), s)))
+    sig = banded.select("norm", "band", h.alias("sig")).persist()
     bucket_ok = (
         sig.groupBy("band", "sig")
         .agg(F.count("*").alias("_n"))
@@ -131,20 +147,18 @@ def similarity_edges(
         .select(F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    sizes = sh.groupBy("norm").agg(F.count("*").alias("n"))
-    a_sh = sh.select(F.col("norm").alias("a"), "shingle")
-    b_sh = sh.select(F.col("norm").alias("b"), "shingle")
-    inter = (
-        cand.join(a_sh, "a")
-        .join(b_sh, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    # Jaccard verification on per-norm sets: |cand| rows with a vectorized
+    # JVM array_intersect each — not a candidates×shingles equi-join.
+    a_sets = norm_sets.select(F.col("norm").alias("a"),
+                              F.col("shingles").alias("sh_a"),
+                              F.size("shingles").alias("n_a"))
+    b_sets = norm_sets.select(F.col("norm").alias("b"),
+                              F.col("shingles").alias("sh_b"),
+                              F.size("shingles").alias("n_b"))
     return (
-        inter.join(sizes.select(F.col("norm").alias("a"),
-                                F.col("n").alias("n_a")), "a")
-        .join(sizes.select(F.col("norm").alias("b"),
-                           F.col("n").alias("n_b")), "b")
+        cand.join(a_sets, "a")
+        .join(b_sets, "b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .where(
             F.col("n_inter")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
