@@ -214,8 +214,33 @@ def minhash_lsh_pairs(
     ``max_bucket`` caps the (band, sig) bucket width fed to the candidate
     self-join — see :data:`MAX_BUCKET_DEFAULT`.
     """
-    sh = shingle_table(df, id_col, text_col, k).cache()
-    sig = minhash_signatures(sh, n_bands, hash_fn)
+    # Set-based formulation: the distinct-shingle ARRAY (the source of
+    # both the signatures and the verification set) is built once per row
+    # and never exploded — signatures are a transform+array_min per (doc,
+    # band) and the verification dictionary a narrow projection, so the
+    # only shuffled rows in the whole operator are the (doc, band, sig)
+    # triples, the candidate pairs, and the capped verification sets.
+    # (The former exploded-shingle formulation paid two extra exchanges:
+    # the groupBy(doc, band) min-agg and the collect_set re-assembly of
+    # the very array the explode had just flattened.)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    banded = base.select(
+        "doc_id", "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    )
+    if hash_fn == "md5":
+        h = F.array_min(F.transform(
+            F.col("sh"),
+            lambda s: F.md5(F.concat_ws(
+                ":", F.col("band").cast("string"), s)),
+        ))
+    else:
+        h = F.array_min(F.transform(
+            F.col("sh"), lambda s: F.xxhash64(F.col("band"), s)))
+    sig = banded.select("doc_id", "band", h.alias("sig"))
     # Hot-bucket guard (drop-before-join): members of an over-cap bucket
     # contribute no candidates from that band — true near-dups usually
     # collide in a calmer band too, and exact duplicates are dedup_exact's
@@ -240,13 +265,10 @@ def minhash_lsh_pairs(
     # candidates×shingles join explodes to |cand| × avg-shingles rows; the
     # set join is |cand| rows with a vectorized JVM intersect per row, and
     # the doc→set dictionary is join-key-partitioned (broadcast when small).
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.slice(F.array_sort(F.collect_set("shingle")), 1,
-                max_shingles).alias("shingles"),
-        # shingle_table is distinct by construction (array_distinct before
-        # the explode) — plain count avoids count_distinct's extra
-        # (doc_id, shingle) exchange
-        F.count(F.lit(1)).alias("n_true"),
+    doc_sets = base.select(
+        "doc_id",
+        F.slice(F.array_sort(F.col("sh")), 1, max_shingles).alias("shingles"),
+        F.size("sh").alias("n_true"),
     ).withColumn("n", F.size("shingles"))
     a_sets = doc_sets.select(F.col("doc_id").alias("doc_a"),
                              F.col("shingles").alias("sh_a"),
