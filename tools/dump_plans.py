@@ -44,9 +44,11 @@ def main() -> None:
             E.q_q3_top_revenue(spark, sf_dir),
         "ann_topk_dot: broadcast nested-loop of the tiny query set, window "
         "for top-k": E.q_ann_topk_dot(spark, sf_dir),
-        "dedup_minhash_lsh: narrow shingle stage (array_distinct before "
-        "explode — no dedup shuffle), banded min-agg, bucket self-join, "
-        "set-intersect verification": E.q_dedup_minhash_lsh(spark, sf_dir),
+        "dedup_minhash_lsh: set-based — per-doc shingle ARRAY feeds both "
+        "the banded signatures (transform+array_min, no explode/min-agg "
+        "exchange) and the capped verification sets; hot-bucket guard "
+        "before the self-join, array_intersect verify":
+            E.q_dedup_minhash_lsh(spark, sf_dir),
         "ann_ivf_int: cell assignment is an ArrowEvalPython matmul over a "
         "once-per-executor broadcast numpy codebook (no plan literals), "
         "probe join broadcasts the 5-query side":
