@@ -1061,6 +1061,77 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def _lineitem_graph(spark, sf_dir):
+    """Deterministic bipartite edge table for the graph-analytics queries:
+    part —supplied-by→ supplier from lineitem (ids prefixed so the two
+    partitions cannot collide in one node-id space)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+
+
+def q_graph_degree_topk(spark, sf_dir):
+    """Highest-degree KG nodes (the 'most connected entity' query the
+    reference answers in Neo4j) — hash-agg + TakeOrdered, hash-exact."""
+    from seq2kg_spark.operators.graph import degree_topk
+
+    return degree_topk(_lineitem_graph(spark, sf_dir).distinct(), k=20)
+
+
+def q_graph_pagerank_int(spark, sf_dir):
+    """Fixed-point integer PageRank over the KG edge table — every step
+    (int sums, floor of double quotients of exact ints) is engine-exact,
+    so the DuckDB twin replays all 5 iterations as unrolled CTEs
+    (operators/graph.pagerank_int; float PageRank could only be
+    rows-only)."""
+    from seq2kg_spark.operators.graph import pagerank_topk
+
+    return pagerank_topk(_lineitem_graph(spark, sf_dir), k=20, n_iter=5)
+
+
+def _graph_pagerank_oracle(n_iter: int = 5, k: int = 20) -> str:
+    """DuckDB twin of pagerank_topk over the lineitem bipartite graph:
+    iterations unrolled into generated CTE pairs (contribution agg +
+    rank update), mirroring graph.pagerank_int's arithmetic exactly."""
+    from seq2kg_spark.operators.graph import PR_SCALE
+
+    base = PR_SCALE * 15 // 100
+    ctes = [
+        """e AS (
+          SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem
+        )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        """outdeg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+        )""",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank "
+        f"FROM nodes)",
+    ]
+    for t in range(n_iter):
+        ctes.append(f"""c{t} AS (
+          SELECT e.dst AS node,
+                 CAST(SUM(CAST(floor(r.rank / o.deg) AS BIGINT))
+                      AS BIGINT) AS m
+          FROM e JOIN r{t} r ON r.node = e.src
+          JOIN outdeg o ON o.src = e.src
+          GROUP BY 1
+        )""")
+        ctes.append(f"""r{t + 1} AS (
+          SELECT n.node,
+                 CAST({base} + COALESCE(
+                     CAST(floor(c.m * 85 / 100.0) AS BIGINT), 0)
+                   AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN c{t} c USING (node)
+        )""")
+    return ("WITH " + ",\n        ".join(ctes)
+            + f"\n        SELECT node, rank FROM r{n_iter} "
+            f"ORDER BY rank DESC, node LIMIT {k}")
+
+
 def q_gru_forward_int(spark, sf_dir):
     """M1's recurrence with a hash-exact driver oracle: fixed-point integer
     GRU (hard gates, floor-divide downscales) over embeddings reshaped to
@@ -1303,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_norms": q_kg_mention_norms,
         "kg_similarity_edges": q_kg_similarity_edges,
         "gru_forward_int": q_gru_forward_int,
+        "graph_degree_topk": q_graph_degree_topk,
+        "graph_pagerank_int": q_graph_pagerank_int,
         "kg_extract_triples": q_kg_extract_triples,
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "kg_neural_triples": q_kg_neural_triples,
@@ -1706,6 +1779,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_similarity_edges": _kg_similarity_edges_oracle(),
         "gru_forward_int": _gru_forward_int_oracle(),
+        "graph_degree_topk": """
+            WITH e AS (
+              SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                              's' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM lineitem
+            ),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree
+              FROM (SELECT src AS node FROM e
+                    UNION ALL SELECT dst FROM e)
+              GROUP BY 1
+            )
+            SELECT node, degree FROM deg
+            ORDER BY degree DESC, node LIMIT 20
+        """,
+        "graph_pagerank_int": _graph_pagerank_oracle(),
         "kg_mention_norms": """
             WITH surfaces AS (
               SELECT unnest([p_name, '  ' || p_type || ' ''s']) AS mention
