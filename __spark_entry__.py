@@ -295,6 +295,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_edges(spark, sf_dir):
+    """Linear-cost near-dup STAR edges (member → bucket-min) — the
+    retention-path alternative to all-pairs enumeration inside duplicate
+    cliques (operators/dedup.minhash_cluster_edges; a 5k-wide template
+    bucket costs w−1 rows instead of w²).  r=2 bands exercise the
+    multi-row signature concat cross-engine."""
+    from seq2kg_spark.operators.dedup import minhash_cluster_edges
+
+    return minhash_cluster_edges(
+        _t(spark, sf_dir, "documents"), hash_fn="md5", band_rows=2)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from seq2kg_spark.operators.dedup import simhash16
 
@@ -1349,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_cluster_edges": q_dedup_cluster_edges,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_dot": q_ann_topk_dot,
@@ -1906,6 +1919,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) >= 0.002
+        """,
+        "dedup_cluster_edges": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, b.band,
+                     min(md5(concat(CAST(b.band AS VARCHAR), ':', '0', ':',
+                                    shingle)))
+                     || '|' ||
+                     min(md5(concat(CAST(b.band AS VARCHAR), ':', '1', ':',
+                                    shingle))) AS sig
+              FROM shingles, generate_series(0, 7) b(band)
+              GROUP BY doc_id, b.band
+            ),
+            rep AS (
+              SELECT band, sig, min(doc_id) AS rep FROM sig GROUP BY 1, 2
+            )
+            SELECT DISTINCT r.rep AS a, s.doc_id AS b
+            FROM sig s JOIN rep r USING (band, sig)
+            WHERE s.doc_id <> r.rep
         """,
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES_CTE},

@@ -175,6 +175,16 @@ def minhash_signatures(
     )
 
 
+def _named_lambda(name: str, body):
+    """Single-arg higher-order-function lambda with an EXPLICIT variable
+    name.  PySpark derives the SQL lambda-variable name from the Python
+    parameter name, so two lambdas that share a parameter name inside one
+    projection mis-bind — results are wrong AND vary run to run (minimal
+    repro pinned in tests/test_dedup_cap.py).  Every multi-lambda
+    projection in this module routes through here."""
+    return eval(f"lambda {name}: body({name})", {"body": body})
+
+
 # Default per-doc verification-set cap; the DuckDB oracle twin interpolates
 # this same constant so the `approx` flag can never silently drift from it.
 MAX_SHINGLES_DEFAULT = 2048
@@ -197,6 +207,7 @@ def minhash_lsh_pairs(
     hash_fn: str = "md5",
     max_shingles: int = MAX_SHINGLES_DEFAULT,
     max_bucket: int = MAX_BUCKET_DEFAULT,
+    band_rows: int = 1,
 ) -> DataFrame:
     """MinHash/LSH near-dup detection: shingle → banded min-sig → bucket
     join → Jaccard verify.  Output: (doc_a, doc_b, jaccard ≥ threshold).
@@ -213,6 +224,18 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` caps the (band, sig) bucket width fed to the candidate
     self-join — see :data:`MAX_BUCKET_DEFAULT`.
+
+    ``band_rows`` (r) is the LSH sharpness knob: a band's signature is the
+    combination of r independent min-hashes, so two docs collide in a band
+    with probability jaccard^r.  The default r=1 is the recall-oriented
+    setting the low-threshold driver oracle uses (P(collide) = jaccard —
+    fine for small corpora and threshold 0.002 recall sweeps), but it is
+    WRONG at web scale for real dedup thresholds: long documents over a
+    shared vocabulary almost all contain the globally-minimal shingle, so
+    1-row bands degenerate toward a full cross product (measured: 50k
+    synthetic pages → 181.5M candidate pairs at r=1 vs ~exact-dup-only at
+    r=4).  For threshold≈0.5 dedup use r=4, n_bands=8: P(candidate) =
+    1-(1-s⁴)⁸ ≈ 0.40 at s=0.5, 0.997 at s=0.9, 0.0008 at s=0.1.
     """
     # Set-based formulation: the distinct-shingle ARRAY (the source of
     # both the signatures and the verification set) is built once per row
@@ -232,14 +255,38 @@ def minhash_lsh_pairs(
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     )
     if hash_fn == "md5":
-        h = F.array_min(F.transform(
-            F.col("sh"),
-            lambda s: F.md5(F.concat_ws(
-                ":", F.col("band").cast("string"), s)),
-        ))
+        if band_rows == 1:
+            # oracle-parity form: min over md5("band:shingle")
+            h = F.array_min(F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat_ws(
+                    ":", F.col("band").cast("string"), s)),
+            ))
+        else:
+            minima = [
+                F.array_min(F.transform(
+                    F.col("sh"),
+                    _named_lambda(f"mh{j}", lambda s, jj=j: F.md5(
+                        F.concat_ws(":", F.col("band").cast("string"),
+                                    F.lit(str(jj)), s))),
+                ))
+                for j in range(band_rows)
+            ]
+            h = F.concat_ws("|", *minima)
     else:
-        h = F.array_min(F.transform(
-            F.col("sh"), lambda s: F.xxhash64(F.col("band"), s)))
+        if band_rows == 1:
+            h = F.array_min(F.transform(
+                F.col("sh"), lambda s: F.xxhash64(F.col("band"), s)))
+        else:
+            minima = [
+                F.array_min(F.transform(
+                    F.col("sh"),
+                    _named_lambda(f"xh{j}", lambda s, jj=j: F.xxhash64(
+                        F.col("band") * band_rows + F.lit(jj), s)),
+                ))
+                for j in range(band_rows)
+            ]
+            h = F.xxhash64(*minima)
     sig = banded.select("doc_id", "band", h.alias("sig"))
     # Hot-bucket guard (drop-before-join): members of an over-cap bucket
     # contribute no candidates from that band — true near-dups usually
@@ -399,4 +446,110 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("dot") >= min_dot)
         .select("id_a", "id_b", "dot")
+    )
+
+
+def minhash_cluster_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    k: int = 3,
+    hash_fn: str = "xxhash64",
+    band_rows: int = 4,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """LINEAR-cost near-dup edges for the retention path: per (band, sig)
+    bucket emit member→min-member STAR edges (w−1 rows per bucket) instead
+    of the w² candidate pairs.
+
+    Why this exists: a bucket of w near-identical documents (template
+    pages, short boilerplate — measured 5,036-wide at r=4 on a 50k-page
+    sample, 80.5M all-pairs candidates) is a CLIQUE in the candidate
+    graph, and a star spans a clique — so connected components over star
+    edges reconstruct exactly the same clusters the all-pairs graph
+    yields, at O(Σw) instead of O(Σw²) rows.  ``minhash_lsh_pairs`` keeps
+    the all-pairs + Jaccard-verify semantics for when the caller really
+    wants scored pairs; THIS is the operator the 100 TB dedup-retention
+    policy feeds from.  r=4 bands (see ``band_rows`` in
+    :func:`minhash_lsh_pairs`) keep bucket membership precise enough that
+    no verification pass is needed for retention decisions; edges are
+    (a, b) with a = bucket min, deduplicated across bands.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    banded = base.select(
+        "doc_id", "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    )
+    # band_rows=1 uses the SAME hash formula as minhash_lsh_pairs so the
+    # two operators bucket identically at equal r — CC over star edges
+    # then equals CC over the all-pairs candidate graph (pytest-pinned).
+    if hash_fn == "md5":
+        if band_rows == 1:
+            h = F.array_min(F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat_ws(
+                    ":", F.col("band").cast("string"), s))))
+        else:
+            minima = [
+                F.array_min(F.transform(
+                    F.col("sh"),
+                    _named_lambda(f"cm{j}", lambda s, jj=j: F.md5(
+                        F.concat_ws(":", F.col("band").cast("string"),
+                                    F.lit(str(jj)), s))),
+                ))
+                for j in range(band_rows)
+            ]
+            h = F.concat_ws("|", *minima)
+    else:
+        if band_rows == 1:
+            h = F.array_min(F.transform(
+                F.col("sh"), lambda s: F.xxhash64(F.col("band"), s)))
+        else:
+            minima = [
+                F.array_min(F.transform(
+                    F.col("sh"),
+                    _named_lambda(f"cx{j}", lambda s, jj=j: F.xxhash64(
+                        F.col("band") * band_rows + F.lit(jj), s)),
+                ))
+                for j in range(band_rows)
+            ]
+            h = F.xxhash64(*minima)
+    sig = banded.select("doc_id", "band", h.alias("sig"))
+    rep = sig.groupBy("band", "sig").agg(F.min("doc_id").alias("rep"))
+    edges = (
+        sig.join(rep, ["band", "sig"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    if verify_threshold is None:
+        return edges
+    # LINEAR verification: one array_intersect per star edge (|edges|
+    # rows, not |bucket|² — each member is only ever compared to its
+    # bucket rep).  Without it CC over raw buckets transitively
+    # over-merges on LSH-hot corpora: measured on 500k synthetic
+    # shared-vocab pages, unverified r=4 stars chained 490k docs into one
+    # component; verified stars keep only true near-dup links.
+    sets = base.select(
+        "doc_id",
+        F.slice(F.array_sort(F.col("sh")), 1,
+                MAX_SHINGLES_DEFAULT).alias("ss"),
+        F.size("sh").alias("n"),
+    )
+    a_s = sets.select(F.col("doc_id").alias("a"),
+                      F.col("ss").alias("sh_a"), F.col("n").alias("n_a"))
+    b_s = sets.select(F.col("doc_id").alias("b"),
+                      F.col("ss").alias("sh_b"), F.col("n").alias("n_b"))
+    return (
+        edges.join(a_s, "a").join(b_s, "b")
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .where(
+            F.col("_i") / (F.col("n_a") + F.col("n_b") - F.col("_i"))
+            >= verify_threshold
+        )
+        .select("a", "b")
     )

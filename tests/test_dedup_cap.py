@@ -104,3 +104,75 @@ def test_ngram_df_cap_drops_stop_shingles(spark):
     ug = {(r.doc_a, r.doc_b): r for r in uncapped}
     assert any(a < 200 and b < 200 for a, b in ug)        # join fans out
     assert all(not r.approx for r in uncapped)            # nothing capped
+
+
+def test_multi_lambda_projection_binding_pitfall(spark):
+    """PySpark names a HOF lambda's SQL variable after the PYTHON parameter
+    name; two lambdas sharing a name in one projection mis-bind (wrong and
+    run-to-run-varying results).  This pins the repro AND that dedup's
+    _named_lambda factory produces the hand-computable answer."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from seq2kg_spark.operators.dedup import _named_lambda
+
+    df = spark.createDataFrame([(i, ["a", "b", "c"]) for i in range(4)],
+                               "band int, sh array<string>")
+    minima = [
+        F.array_min(F.transform(
+            F.col("sh"),
+            _named_lambda(f"v{j}", lambda s, jj=j: F.md5(F.concat_ws(
+                ":", F.col("band").cast("string"), F.lit(str(jj)), s))),
+        ))
+        for j in range(2)
+    ]
+    got = sorted(map(tuple, df.select(
+        "band", F.concat_ws("|", *minima).alias("x")).collect()))
+    exp = sorted(
+        (band, "|".join(
+            min(hashlib.md5(f"{band}:{j}:{s}".encode()).hexdigest()
+                for s in ["a", "b", "c"])
+            for j in range(2)))
+        for band in range(4)
+    )
+    assert got == exp
+    assert got == sorted(map(tuple, df.select(
+        "band", F.concat_ws("|", *minima).alias("x")).collect()))
+
+
+def test_cluster_edges_components_equal_pairs_components(spark):
+    """Star edges span each (band, sig) bucket-clique, so connected
+    components over minhash_cluster_edges equal components over the
+    all-pairs candidate graph at the same r — the retention-policy
+    equivalence that makes the linear form safe at scale."""
+    from seq2kg_spark.operators.canonicalize import connected_components
+    from seq2kg_spark.operators.dedup import (minhash_cluster_edges,
+                                              minhash_lsh_pairs)
+    import pyspark.sql.functions as F
+
+    rows = []
+    for c in range(5):                      # 5 template clusters of 6
+        for i in range(6):
+            rows.append((c * 100 + i,
+                         f"template {c} body text repeated again here"))
+    rows += [(900 + i, f"unique document number {i} with its own words x{i}")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stars = minhash_cluster_edges(df, band_rows=1, hash_fn="md5")
+    pairs = minhash_lsh_pairs(df, threshold=0.0, band_rows=1,
+                              hash_fn="md5").select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+
+    def comps(edges):
+        c = connected_components(edges)
+        return {(r.node, r.component) for r in c.collect()}
+
+    assert comps(stars) == comps(pairs)
+    # and the star form is LINEAR: ≤ n_bands × n_docs edges total (a
+    # member contributes at most one edge per band), never O(w²) within a
+    # bucket — templates sharing suffix shingles can pull one member into
+    # differently-repped buckets across bands, so the bound is per band,
+    # not per cluster
+    assert stars.count() <= 8 * len(rows)
