@@ -82,6 +82,7 @@ def similarity_edges(
     k: int = 3,
     max_bucket: int = SIM_MAX_BUCKET_DEFAULT,
     hash_fn: str = "xxhash64",
+    new_flag_col: str | None = None,
 ) -> DataFrame:
     """Same-entity candidate edges between *normalized* mention strings.
 
@@ -99,7 +100,16 @@ def similarity_edges(
     chained mentions).  The cap bounds the join at
     O(n_bands · max_bucket²) rows per bucket, never O(|mentions|²).
     """
-    norms = mentions.select("norm").distinct()
+    if new_flag_col is None:
+        norms = mentions.select("norm").distinct()
+    else:
+        # incremental mode: only pairs touching a NEW norm are candidates —
+        # old-old similarity was decided by the previous run and arrives as
+        # component star edges (incremental_assign)
+        norms = (
+            mentions.select("norm", F.col(new_flag_col).alias("_new"))
+            .groupBy("norm").agg(F.max("_new").alias("_new"))
+        )
     # Mentions are SHORT strings (a few hundred chars max), so the full
     # shingle set of a norm fits in one array cell — never materialize
     # (norm × shingle) or (norm × shingle × band) rows.  The former
@@ -109,8 +119,9 @@ def similarity_edges(
     # shuffled rows are the (norm, band, sig) triples and the candidate
     # pairs themselves (same shape as dedup.minhash_lsh_pairs' set-join
     # verification).
+    flag = ["_new"] if new_flag_col else []
     norm_sets = norms.select(
-        "norm",
+        "norm", *flag,
         F.array_sort(_char_shingles(F.col("norm"), k)).alias("shingles"),
     ).persist()
     # Banded min-signatures without exploding shingles: per (norm, band),
@@ -120,7 +131,7 @@ def similarity_edges(
     # DuckDB oracle twin — same seam as dedup.minhash_signatures (string
     # min is lexicographic in both formulations).
     banded = norm_sets.select(
-        "norm", "shingles",
+        "norm", *flag, "shingles",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     )
     if hash_fn == "md5":
@@ -132,7 +143,7 @@ def similarity_edges(
     else:
         h = F.array_min(F.transform(
             F.col("shingles"), lambda s: F.xxhash64(F.col("band"), s)))
-    sig = banded.select("norm", "band", h.alias("sig")).persist()
+    sig = banded.select("norm", *flag, "band", h.alias("sig")).persist()
     bucket_ok = (
         sig.groupBy("band", "sig")
         .agg(F.count("*").alias("_n"))
@@ -144,7 +155,11 @@ def similarity_edges(
         sig.alias("x")
         .join(sig.alias("y"), ["band", "sig"])
         .where(F.col("x.norm") < F.col("y.norm"))
-        .select(F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
+    )
+    if new_flag_col:
+        cand = cand.where(F.col("x._new") | F.col("y._new"))
+    cand = (
+        cand.select(F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     # Jaccard verification on per-norm sets: |cand| rows with a vectorized
@@ -355,3 +370,67 @@ def canonicalize(
         .agg(F.count("*").cast("long").alias("weight"))
     )
     return nodes, edges
+
+
+def incremental_assign(
+    old_assign: DataFrame,
+    new_mentions: DataFrame,
+    threshold: float = 0.55,
+    n_bands: int = 6,
+    max_bucket: int = SIM_MAX_BUCKET_DEFAULT,
+    hash_fn: str = "xxhash64",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental component assignment for an append-only mention stream.
+
+    ``old_assign`` is a previous run's (norm, component) table (component
+    = min norm of the component); ``new_mentions`` any DataFrame with a
+    ``norm`` column (e.g. :func:`mentions_from_triples` of the new day's
+    triples).  Returns the merged (norm, component) assignment.
+
+    Why this is cheap: similarity is pairwise and components are the
+    transitive closure, so ``closure(all edges) == closure(old-component
+    STAR edges ∪ edges touching a new norm)`` — the old stars span
+    exactly the old components (which ARE the closure of the old-old
+    edges).  Old norms are re-signatured (narrow, linear CPU) but
+    **old-old pairs are never re-candidated or re-verified** — the
+    O(N_old²-shaped) part of the work is skipped; only new-new and
+    new-old pairs run the Jaccard verify.
+
+    Semantics note: equality with a from-scratch recompute is exact as
+    long as the hot-bucket cap decisions don't change between runs (a
+    bucket crossing ``max_bucket`` only because of newly added norms
+    drops pairs a full recompute would also drop, but cannot retract an
+    old merge).  In general the result is the union-closure of per-batch
+    decisions — the desirable monotone semantics for an append-only
+    pipeline: growth never un-merges an entity.
+    """
+    old_norms = (
+        old_assign.select("norm").distinct()
+        .withColumn("is_new", F.lit(False))
+    )
+    new_only = (
+        new_mentions.select("norm").distinct()
+        .join(old_norms.select("norm"), "norm", "left_anti")
+        .withColumn("is_new", F.lit(True))
+    )
+    all_norms = old_norms.unionByName(new_only)
+    if stats is not None:
+        stats["n_new_norms"] = new_only.count()
+    sim = similarity_edges(
+        all_norms, threshold=threshold, n_bands=n_bands,
+        max_bucket=max_bucket, hash_fn=hash_fn, new_flag_col="is_new",
+    )
+    stars = (
+        old_assign.where(F.col("norm") != F.col("component"))
+        .select(F.col("component").alias("a"), F.col("norm").alias("b"))
+    )
+    comp = connected_components(sim.unionByName(stars), stats=stats)
+    return (
+        all_norms.select("norm")
+        .join(comp, F.col("norm") == F.col("node"), "left")
+        .select(
+            "norm",
+            F.coalesce("component", F.col("norm")).alias("component"),
+        )
+    )
