@@ -260,9 +260,11 @@ def tags_to_triples(
 # through r⊙h, convex state update — joint_model/model.py:43-98), but in
 # 64-bit integer fixed-point with hard-sigmoid/hard-tanh gates, where every
 # step — int matmul, floor-divide-by-power-of-two downscale, clamp — is
-# bit-reproducible in ANY engine (the DuckDB twin replays it with a
-# recursive CTE over list_dot_product).  Same exactness trick as
-# ann.lsh_topk_int / ivf_topk_int.
+# bit-reproducible in ANY engine (the DuckDB twin UNROLLS the T=8 time
+# loop into a generated CTE chain — DuckDB lambdas cannot capture outer
+# columns inside a recursive CTE member, so true recursion is out; see
+# _gru_forward_int_oracle).  Same exactness trick as ann.lsh_topk_int /
+# ivf_topk_int.
 #
 # Scale S = 1024 (2^10): gate outputs live in [0, S], states in [-S, S];
 # downscales are floor(x / 4.0) and floor(x / 1024.0) — exact in IEEE

@@ -29,12 +29,78 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# --------------------------------------------------------------------------
+# Cache lifetime management.
+#
+# Everything this module persists (two .persist()s in similarity_edges, the
+# per-round localCheckpoints in connected_components, the two naming-chain
+# localCheckpoints in canonicalize) is released as soon as its last consumer
+# has MATERIALIZED — mid-computation where possible, otherwise through a
+# release handle attached to the returned DataFrame(s).  Without this, a
+# long-lived session calling canonicalize / incremental_assign per batch
+# (the streaming use case) accumulates cached blocks per invocation and
+# leans on LRU eviction under memory pressure.
+#
+# localCheckpoint needs special handling: its storage lives on an internal
+# JVM RDD that DataFrame.unpersist() does NOT reach, so we snapshot
+# sc.getPersistentRDDs() ids around the checkpoint and release by id.  A
+# released localCheckpoint CANNOT be recomputed (lineage is truncated), so
+# a release handle must only fire after the DataFrame's consumers have
+# materialized — which is why the handles are explicit, not a finalizer.
+# --------------------------------------------------------------------------
+
+
+def _release_rdd_ids(spark, ids: list[int]):
+    """Unpersist persistent RDDs by id (idempotent; missing ids skipped)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist()
+
+
+def _tracked_local_checkpoint(df: DataFrame):
+    """Eager localCheckpoint + a zero-arg release handle for its blocks.
+
+    The id diff is safe on a single-threaded driver (the only execution
+    model this package uses); the handle unpersists exactly the RDDs the
+    checkpoint registered."""
+    spark = df.sparkSession
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    new_ids = [i for i in jsc.getPersistentRDDs().keySet().toArray()
+               if i not in before]
+    return out, (lambda: _release_rdd_ids(spark, new_ids))
+
+
+def release_caches(*dfs: DataFrame) -> None:
+    """Release the caches backing DataFrames returned by this module.
+
+    Call AFTER the DataFrame(s) have been materialized (written, collected
+    or counted for the last time): released localCheckpoints cannot be
+    recomputed, so a released DataFrame must not be re-evaluated.
+    Idempotent."""
+    for df in dfs:
+        caches = getattr(df, "_canon_caches", [])
+        while caches:
+            # pop in place: outputs sharing one handle list (canonicalize's
+            # nodes/edges) release exactly once between them
+            caches.pop()()
+
+
+# Spelled-out ASCII whitespace class == Java \s exactly.  RE2 (the DuckDB
+# twin engine) excludes \x0B from \s, so a bare \s+ here would diverge
+# cross-engine on vertical tabs — same seam as repetition.WS_CLASS.
+WS_CLASS = "[ \\t\\r\\n\\x0B\\f]"
+
+
 def normalize_mention(col):
     """Cheap normal form: lower, strip possessives/punct edges, squeeze."""
     c = F.lower(col)
     c = F.regexp_replace(c, "'s$", "")
     c = F.regexp_replace(c, "^[^a-z0-9]+|[^a-z0-9]+$", "")
-    return F.regexp_replace(c, "\\s+", " ")
+    return F.regexp_replace(c, WS_CLASS + "+", " ")
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:
@@ -83,12 +149,20 @@ def similarity_edges(
     max_bucket: int = SIM_MAX_BUCKET_DEFAULT,
     hash_fn: str = "xxhash64",
     new_flag_col: str | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Same-entity candidate edges between *normalized* mention strings.
 
     Exact-norm collisions are free (groupBy); near-miss pairs come from
     banded MinHash over char k-shingles, verified by Jaccard ≥ threshold.
     Returns (a, b) string pairs with a < b.
+
+    The two internal ``persist()``s (norm shingle sets, banded signatures)
+    back the returned plan lazily, so they cannot be unpersisted here.
+    Their release handles go into ``cache_registry`` if given (the
+    canonicalize / incremental_assign path releases them as soon as the
+    edge set is cut from this lineage), else onto the returned DataFrame's
+    ``_canon_caches`` for :func:`release_caches` after materialization.
 
     ``max_bucket`` is the skew guard on the LSH self-join: a (band, sig)
     bucket of n members emits n² candidate rows, so one hot signature
@@ -143,7 +217,9 @@ def similarity_edges(
     else:
         h = F.array_min(F.transform(
             F.col("shingles"), lambda s: F.xxhash64(F.col("band"), s)))
-    sig = banded.select("norm", *flag, "band", h.alias("sig")).persist()
+    # keep the persisted handle (sig is reassigned below) for the release
+    sig_raw = banded.select("norm", *flag, "band", h.alias("sig")).persist()
+    sig = sig_raw
     bucket_ok = (
         sig.groupBy("band", "sig")
         .agg(F.count("*").alias("_n"))
@@ -170,7 +246,7 @@ def similarity_edges(
     b_sets = norm_sets.select(F.col("norm").alias("b"),
                               F.col("shingles").alias("sh_b"),
                               F.size("shingles").alias("n_b"))
-    return (
+    out = (
         cand.join(a_sets, "a")
         .join(b_sets, "b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -181,6 +257,12 @@ def similarity_edges(
         )
         .select("a", "b")
     )
+    releases = [norm_sets.unpersist, sig_raw.unpersist]
+    if cache_registry is not None:
+        cache_registry.extend(releases)
+    else:
+        out._canon_caches = releases
+    return out
 
 
 def connected_components(
@@ -188,6 +270,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_every: int = 1,
     stats: dict | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
@@ -197,6 +280,13 @@ def connected_components(
     Each round is two groupBy shuffles over the edge set; convergence in
     O(log n) rounds.  ``localCheckpoint`` truncates lineage so round k+1's
     plan doesn't embed rounds 1..k (mandatory at scale).
+
+    Cache lifetime: round k's checkpoint blocks are released as soon as
+    round k+1's checkpoint has materialized (previously every round's edge
+    snapshot stayed resident for the whole loop).  The FINAL round's blocks
+    back the returned mapping lazily, so their release handle goes into
+    ``cache_registry`` if given, else onto the result's ``_canon_caches``
+    (:func:`release_caches` after materialization).
     """
     spark = edges.sparkSession
     # undirected, deduped, self-loops dropped
@@ -254,11 +344,18 @@ def connected_components(
 
     prev_hash = None
     converged = False
+    prev_release = None
+    final_release = None
     for i in range(max_iter):
         e = star(e, large=True)
         e = star(e, large=False)
         if checkpoint_every and (i % checkpoint_every == 0):
-            e = e.localCheckpoint(eager=True)
+            e, rel = _tracked_local_checkpoint(e)
+            if prev_release is not None:
+                # the new checkpoint is materialized and lineage-cut, so
+                # the previous round's snapshot has no remaining consumer
+                prev_release()
+            prev_release = final_release = rel
         h = (
             e.agg(
                 F.count("*").alias("n"),
@@ -286,9 +383,15 @@ def connected_components(
     roots = e.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    return comp.unionByName(roots).groupBy("node").agg(
+    out = comp.unionByName(roots).groupBy("node").agg(
         F.min("component").alias("component")
     )
+    if final_release is not None:
+        if cache_registry is not None:
+            cache_registry.append(final_release)
+        else:
+            out._canon_caches = [final_release]
+    return out
 
 
 def canonicalize(
@@ -304,11 +407,19 @@ def canonicalize(
     ``cc_rounds`` / ``cc_edges`` from the large/small-star loop and
     ``distinct_mentions`` — the scale drivers a cluster operator watches.
     ``max_bucket`` is the LSH hot-bucket cap (similarity_edges).
+
+    Cache lifetime: the mentions cache, the similarity-edge persists and
+    every CC round snapshot are released BEFORE this returns (the eager
+    naming-chain checkpoint is the last consumer of all of them).  The two
+    checkpoints that back the returned ``nodes``/``edges`` lazily carry a
+    shared release handle — call :func:`release_caches` on either output
+    after writing both.
     """
+    upstream: list = []
     mentions = mentions_from_triples(triples).cache()
     sim = similarity_edges(mentions, threshold=threshold, n_bands=n_bands,
-                           max_bucket=max_bucket)
-    comp = connected_components(sim, stats=stats)
+                           max_bucket=max_bucket, cache_registry=upstream)
+    comp = connected_components(sim, stats=stats, cache_registry=upstream)
     if stats is not None:
         stats["distinct_mentions"] = (
             mentions.select("norm").distinct().count())
@@ -326,7 +437,12 @@ def canonicalize(
     # write action re-runs the mentions→components join chain from scratch
     # (measured: the 500k-page canonicalize stage spent most of its 179 s
     # recomputing this naming chain per action).
-    m = mentions.join(norm_comp, "norm").localCheckpoint(eager=True)
+    m, m_release = _tracked_local_checkpoint(mentions.join(norm_comp, "norm"))
+    # m is materialized and lineage-cut: the mentions cache, similarity
+    # persists and the final CC snapshot have no remaining consumers
+    mentions.unpersist()
+    for rel in upstream:
+        rel()
     # canonical surface: most frequent, then longest, then lexicographic
     w = Window.partitionBy("component").orderBy(
         F.desc("freq"), F.desc(F.length("mention")), F.asc("mention")
@@ -349,10 +465,12 @@ def canonicalize(
     # a separate write action — checkpoint so the window + join above run
     # once, and AQE sees a concrete (small) size and broadcasts it into the
     # big triples join instead of shuffling 2×|triples| rows.
-    mention_to_canon = m.join(canon, "component").select(
-        F.col("mention"), F.xxhash64("component").alias("canon_id"),
-        F.col("canonical"),
-    ).dropDuplicates(["mention"]).localCheckpoint(eager=True)
+    mention_to_canon, mtc_release = _tracked_local_checkpoint(
+        m.join(canon, "component").select(
+            F.col("mention"), F.xxhash64("component").alias("canon_id"),
+            F.col("canonical"),
+        ).dropDuplicates(["mention"])
+    )
     s_map = mention_to_canon.select(
         F.col("mention").alias("subj"),
         F.col("canon_id").alias("src"),
@@ -369,6 +487,12 @@ def canonicalize(
         .groupBy("src", "src_name", F.col("pred"), "dst", "dst_name")
         .agg(F.count("*").cast("long").alias("weight"))
     )
+    # one shared handle list: releasing via EITHER output releases both
+    # checkpoints, and release_caches clears the list so the second call
+    # is a no-op
+    shared = [m_release, mtc_release]
+    nodes._canon_caches = shared
+    edges._canon_caches = shared
     return nodes, edges
 
 
@@ -404,6 +528,12 @@ def incremental_assign(
     old merge).  In general the result is the union-closure of per-batch
     decisions — the desirable monotone semantics for an append-only
     pipeline: growth never un-merges an entity.
+
+    Cache lifetime (the repeated-invocation path — this runs per batch in
+    a long-lived session): the similarity persists and all intermediate CC
+    snapshots are released before this returns; the final CC snapshot backs
+    the returned mapping lazily, so it carries the release handle — call
+    :func:`release_caches` on the result after materializing it.
     """
     old_norms = (
         old_assign.select("norm").distinct()
@@ -417,16 +547,25 @@ def incremental_assign(
     all_norms = old_norms.unionByName(new_only)
     if stats is not None:
         stats["n_new_norms"] = new_only.count()
+    sim_caches: list = []
     sim = similarity_edges(
         all_norms, threshold=threshold, n_bands=n_bands,
         max_bucket=max_bucket, hash_fn=hash_fn, new_flag_col="is_new",
+        cache_registry=sim_caches,
     )
     stars = (
         old_assign.where(F.col("norm") != F.col("component"))
         .select(F.col("component").alias("a"), F.col("norm").alias("b"))
     )
-    comp = connected_components(sim.unionByName(stars), stats=stats)
-    return (
+    cc_caches: list = []
+    comp = connected_components(sim.unionByName(stars), stats=stats,
+                                cache_registry=cc_caches)
+    # CC's first checkpoint cut the lineage from sim, and connected_
+    # components has materialized past it — the similarity persists have
+    # no remaining consumers
+    for rel in sim_caches:
+        rel()
+    out = (
         all_norms.select("norm")
         .join(comp, F.col("norm") == F.col("node"), "left")
         .select(
@@ -434,3 +573,5 @@ def incremental_assign(
             F.coalesce("component", F.col("norm")).alias("component"),
         )
     )
+    out._canon_caches = cc_caches
+    return out

@@ -97,13 +97,29 @@ def run_stage_checkpointed(
     key_col: str = "url",
     n_buckets: int = 16,
     run_id: str | None = None,
+    wave_size: int | None = None,
 ) -> dict:
     """Run ``stage_fn`` over all not-yet-committed buckets; commit + log.
 
-    Returns {"processed": [...], "skipped": [...], "run_id": ...}.
-    The stage_fn receives the bucketed input slice (all pending buckets in
-    ONE Spark job — resume granularity is per bucket, execution is fully
-    parallel) and must preserve the ``bucket`` and ``key_col`` columns.
+    Returns {"processed": [...], "skipped": [...], "run_id": ...,
+    "waves": N}.  The stage_fn receives the bucketed input slice and must
+    preserve the ``bucket`` and ``key_col`` columns.
+
+    ``wave_size`` picks the crash grain vs throughput tradeoff:
+
+    * ``None`` (default): all pending buckets in ONE Spark job — maximum
+      parallelism, single input scan, but a kill mid-stage loses the whole
+      stage (resume recomputes every pending bucket).
+    * ``w``: pending buckets run in committed waves of ``w``; data + the
+      wave's lineage rows commit before the next wave starts, so a kill
+      loses at most one wave.  Each wave re-scans the input to slice its
+      buckets (the bucket is a hash of ``key_col``, not a storage
+      partition), so the mode suits compute-dominated stages — extraction
+      runs NLP inference at ~10⁴ docs/s/node while the parquet scan feeding
+      it streams ~10⁶ rows/s — where an hours-long stage losing everything
+      to one preemption dwarfs a few extra column-pruned scans.  On a
+      bucket-partitioned Iceberg input the rescan prunes to the wave's
+      partitions and the tradeoff disappears.
     """
     spark = inputs.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -111,61 +127,76 @@ def run_stage_checkpointed(
     bucketed = with_bucket(inputs, key_col, n_buckets)
     pending = sorted(set(range(n_buckets)) - done)
     if not pending:
-        return {"processed": [], "skipped": sorted(done), "run_id": run_id}
+        return {"processed": [], "skipped": sorted(done), "run_id": run_id,
+                "waves": 0}
 
-    todo = bucketed.where(F.col("bucket").isin(pending))
-    t0 = time.monotonic()
-    result = stage_fn(todo)
-    assert "bucket" in result.columns, "stage_fn must preserve the bucket column"
-    # Dynamic partition overwrite only replaces partitions PRESENT in the new
-    # result — a pending bucket whose recompute yields zero rows would leave a
-    # half-written dir from a killed run in place (and its stale rows would be
-    # counted as n_output).  Delete every pending bucket dir first so resume
-    # semantics hold even for zero-row buckets.
+    if wave_size and wave_size > 0:
+        waves = [pending[i:i + wave_size]
+                 for i in range(0, len(pending), wave_size)]
+    else:
+        waves = [pending]
+
     fs, _ = _hadoop_fs(spark, out_path)
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    for b in pending:
-        bdir = jvm_path(f"{out_path}/bucket={b}")
-        if fs.exists(bdir):
-            fs.delete(bdir, True)
-    (
-        result.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(out_path)
-    )
-    job_wall_ms = int((time.monotonic() - t0) * 1000)
-
-    # per-bucket metrics from the committed output (cheap scan of new dirs)
-    out = spark.read.parquet(out_path).where(F.col("bucket").isin(pending))
-    in_counts = {
-        r.bucket: (r.n, r.lo, r.hi)
-        for r in todo.groupBy("bucket").agg(
-            F.count("*").alias("n"),
-            F.min(key_col).alias("lo"),
-            F.max(key_col).alias("hi"),
-        ).collect()
-    }
-    out_counts = {
-        r.bucket: r.n
-        for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
-    rows = [
+    for wave in waves:
+        todo = bucketed.where(F.col("bucket").isin(wave))
+        t0 = time.monotonic()
+        result = stage_fn(todo)
+        assert "bucket" in result.columns, \
+            "stage_fn must preserve the bucket column"
+        # Dynamic partition overwrite only replaces partitions PRESENT in
+        # the new result — a pending bucket whose recompute yields zero rows
+        # would leave a half-written dir from a killed run in place (and its
+        # stale rows would be counted as n_output).  Delete every bucket dir
+        # of this wave first so resume semantics hold even for zero-row
+        # buckets.
+        for b in wave:
+            bdir = jvm_path(f"{out_path}/bucket={b}")
+            if fs.exists(bdir):
+                fs.delete(bdir, True)
         (
-            stage, int(b),
-            in_counts.get(b, (0, None, None))[1],
-            in_counts.get(b, (0, None, None))[2],
-            int(in_counts.get(b, (0, None, None))[0]),
-            int(out_counts.get(b, 0)),
-            job_wall_ms,
-            run_id,
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(out_path)
         )
-        for b in pending
-    ]
-    lineage_rows = spark.createDataFrame(
-        rows,
-        "stage string, bucket int, url_min string, url_max string, "
-        "n_input long, n_output long, job_wall_ms long, run_id string",
-    ).withColumn("committed_at", F.current_timestamp())
-    lineage_rows.write.mode("append").parquet(lineage_path)
-    return {"processed": pending, "skipped": sorted(done), "run_id": run_id}
+        job_wall_ms = int((time.monotonic() - t0) * 1000)
+
+        # per-bucket metrics from the committed output (cheap scan of the
+        # wave's new dirs)
+        out = spark.read.parquet(out_path).where(F.col("bucket").isin(wave))
+        in_counts = {
+            r.bucket: (r.n, r.lo, r.hi)
+            for r in todo.groupBy("bucket").agg(
+                F.count("*").alias("n"),
+                F.min(key_col).alias("lo"),
+                F.max(key_col).alias("hi"),
+            ).collect()
+        }
+        out_counts = {
+            r.bucket: r.n
+            for r in out.groupBy("bucket").agg(
+                F.count("*").alias("n")).collect()
+        }
+        rows = [
+            (
+                stage, int(b),
+                in_counts.get(b, (0, None, None))[1],
+                in_counts.get(b, (0, None, None))[2],
+                int(in_counts.get(b, (0, None, None))[0]),
+                int(out_counts.get(b, 0)),
+                job_wall_ms,
+                run_id,
+            )
+            for b in wave
+        ]
+        lineage_rows = spark.createDataFrame(
+            rows,
+            "stage string, bucket int, url_min string, url_max string, "
+            "n_input long, n_output long, job_wall_ms long, run_id string",
+        ).withColumn("committed_at", F.current_timestamp())
+        # lineage commits AFTER the wave's data: lineage row present ⇒
+        # bucket complete, exactly as in single-job mode
+        lineage_rows.write.mode("append").parquet(lineage_path)
+    return {"processed": pending, "skipped": sorted(done),
+            "run_id": run_id, "waves": len(waves)}

@@ -85,6 +85,7 @@ def run_kg_pipeline(
     canon_n_bands: int = 6,
     canon_max_bucket: int | None = None,
     extractor: str = "rule",
+    extract_wave_size: int | None = 4,
 ) -> dict:
     """Run the resumable three-stage pipeline; returns stage reports + paths.
 
@@ -92,6 +93,15 @@ def run_kg_pipeline(
     ``"neural"`` (the BiGRU joint-model path, operators/tagger_infer.py —
     THE Seq2KG model).  Both share the same bucket-grain checkpoint/resume
     machinery; the neural stage broadcasts its weights once per run.
+
+    ``extract_wave_size``: buckets per committed wave in the extract stage
+    (lineage.run_stage_checkpointed).  Extraction is the hours-long,
+    compute-dominated stage at web scale, so its crash grain defaults to
+    waves of 4 buckets — a kill mid-extract loses at most one wave, not
+    the stage.  Pass ``None`` for the single-job fast path (one input
+    scan, whole-stage crash grain); curate keeps the single-job path —
+    it's scan-dominated, so wave rescans would roughly multiply its cost
+    by the wave count.
     """
     spark = pages.sparkSession
     curated_path = os.path.join(workdir, "curated")
@@ -134,6 +144,7 @@ def run_kg_pipeline(
         lineage_path=lineage_path,
         key_col="url",
         n_buckets=n_buckets,
+        wave_size=extract_wave_size,
     )
 
     triples = spark.read.parquet(triples_path)
@@ -147,19 +158,29 @@ def run_kg_pipeline(
     # leaves no marker and the rerun recomputes; a rerun over unchanged
     # triples skips the stage entirely.
     # Fingerprint = canonicalize PARAMS + CONTENT hash of the committed
-    # triples (order-independent bit_xor of per-row xxhash64 + count), not
-    # per-bucket row counts: a rerun with a different threshold/n_bands
-    # must NOT skip onto stale graph tables, and a recomputed bucket can
-    # change content without changing its count.
+    # triples, not per-bucket row counts: a rerun with a different
+    # threshold/n_bands must NOT skip onto stale graph tables, and a
+    # recomputed bucket can change content without changing its count.
+    # The combiner must be order-independent AND multiplicity-sensitive:
+    # a bare bit_xor of per-row hashes cancels even multiplicities, so a
+    # bucket swap that trades one duplicated row set for another of equal
+    # total count would collide.  Fold the per-hash COUNT into a second
+    # hash level instead (groupBy h is map-side-combined and overflow-free
+    # under ANSI, unlike sum(h)).
     _hcols = [F.col(c) for c in triples.columns]
-    _agg = triples.select(F.xxhash64(*_hcols).alias("h")).agg(
-        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
-    ).collect()[0]
+    _agg = (
+        triples.select(F.xxhash64(*_hcols).alias("h"))
+        .groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        .select(F.xxhash64("h", "c").alias("hc"), F.col("c"))
+        .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("n"),
+             F.expr("bit_xor(hc)").alias("x"))
+        .collect()[0]
+    )
     from seq2kg_spark.operators.canonicalize import SIM_MAX_BUCKET_DEFAULT
     if canon_max_bucket is None:
         canon_max_bucket = SIM_MAX_BUCKET_DEFAULT
     extract_fp = (
-        f"v2|t={canon_threshold!r}|b={canon_n_bands}|m={canon_max_bucket}"
+        f"v3|t={canon_threshold!r}|b={canon_n_bands}|m={canon_max_bucket}"
         f"|n={_agg['n']}|x={_agg['x']}"
     )
     # one-row parquet, not a local file: workdir may be HDFS/S3
@@ -185,6 +206,11 @@ def run_kg_pipeline(
             max_bucket=canon_max_bucket, stats=canon_stats)
         nodes.write.mode("overwrite").parquet(nodes_path)
         edges.write.mode("overwrite").parquet(edges_path)
+        # both outputs are on disk — drop the naming-chain checkpoints so
+        # a long-lived session running pipelines back-to-back doesn't
+        # accumulate cached blocks
+        from seq2kg_spark.operators.canonicalize import release_caches
+        release_caches(nodes, edges)
         canon_stats["wall_ms"] = int((time.monotonic() - t0) * 1000)
         spark.createDataFrame([(extract_fp,)], "fp string").coalesce(
             1).write.mode("overwrite").parquet(marker_path)

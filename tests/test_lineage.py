@@ -68,3 +68,68 @@ def test_noop_when_all_buckets_done(spark, pages, tmp_path):
     )
     assert r["processed"] == []
     assert r["skipped"] == [0, 1, 2, 3]
+
+
+def test_wave_commit_matches_single_job(spark, pages, tmp_path):
+    """wave_size=w commits identical data/lineage to the single-job path."""
+    inp = pages.select("url", "text")
+    out_a, lin_a = str(tmp_path / "wa_out"), str(tmp_path / "wa_lin")
+    out_b, lin_b = str(tmp_path / "wb_out"), str(tmp_path / "wb_lin")
+
+    r1 = run_stage_checkpointed(
+        inp, _stage, stage="tag", out_path=out_a, lineage_path=lin_a,
+        n_buckets=8)
+    r3 = run_stage_checkpointed(
+        inp, _stage, stage="tag", out_path=out_b, lineage_path=lin_b,
+        n_buckets=8, wave_size=3)
+    assert r1["waves"] == 1
+    assert r3["waves"] == 3          # 3 + 3 + 2 buckets
+    assert r3["processed"] == list(range(8))
+
+    a = {tuple(r) for r in spark.read.parquet(out_a).collect()}
+    b = {tuple(r) for r in spark.read.parquet(out_b).collect()}
+    assert a == b
+    # every bucket has a lineage row; waves carry distinct job walls but
+    # the same run_id
+    lin = read_lineage(spark, lin_b)
+    assert completed_buckets(spark, lin_b, "tag") == set(range(8))
+    assert lin.select("run_id").distinct().count() == 1
+
+
+def test_wave_commit_survives_mid_stage_crash(spark, pages, tmp_path):
+    """A crash in wave 2 keeps wave 1's commits; the rerun resumes there."""
+    inp = pages.select("url", "text")
+    out, lin = str(tmp_path / "wc_out"), str(tmp_path / "wc_lin")
+    calls = {"n": 0}
+
+    def bomb(df):
+        calls["n"] += 1
+        if calls["n"] == 2:          # second wave dies "mid-stage"
+            raise RuntimeError("simulated preemption")
+        return _stage(df)
+
+    try:
+        run_stage_checkpointed(
+            inp, bomb, stage="tag", out_path=out, lineage_path=lin,
+            n_buckets=8, wave_size=4)
+        raise AssertionError("bomb did not fire")
+    except RuntimeError as e:
+        assert "preemption" in str(e)
+
+    # wave 1 (buckets 0-3) is durable; wave 2 left nothing
+    assert completed_buckets(spark, lin, "tag") == {0, 1, 2, 3}
+
+    r2 = run_stage_checkpointed(
+        inp, _stage, stage="tag", out_path=out, lineage_path=lin,
+        n_buckets=8, wave_size=4)
+    assert r2["skipped"] == [0, 1, 2, 3]
+    assert r2["processed"] == [4, 5, 6, 7]
+    assert r2["waves"] == 1
+    # final table identical to an uninterrupted single-job run
+    out_ref, lin_ref = str(tmp_path / "wr_out"), str(tmp_path / "wr_lin")
+    run_stage_checkpointed(
+        inp, _stage, stage="tag", out_path=out_ref, lineage_path=lin_ref,
+        n_buckets=8)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    ref = {tuple(r) for r in spark.read.parquet(out_ref).collect()}
+    assert got == ref
