@@ -150,6 +150,8 @@ def similarity_edges(
     hash_fn: str = "xxhash64",
     new_flag_col: str | None = None,
     cache_registry: list | None = None,
+    band_rows: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Same-entity candidate edges between *normalized* mention strings.
 
@@ -163,6 +165,16 @@ def similarity_edges(
     canonicalize / incremental_assign path releases them as soon as the
     edge set is cut from this lineage), else onto the returned DataFrame's
     ``_canon_caches`` for :func:`release_caches` after materialization.
+
+    ``band_rows`` (r): MinHash rows per band.  A (band, sig) bucket
+    collides with probability jaccard^r, so r=1 degenerates on
+    shared-vocab corpora — every pair sharing ONE hot shingle collides
+    somewhere (same failure the dedup module measured at 181.5 M
+    candidates on 50k pages) and the hot-bucket cap then DROPS true pairs
+    wholesale.  r>1 suppresses low-similarity collisions before the cap
+    ever fires; the r=1 default keeps the kg_similarity_edges oracle
+    hash-exact (tools/zipf_recall_study.py is the recall/cost evidence
+    per (cap, r) on both corpus shapes).
 
     ``max_bucket`` is the skew guard on the LSH self-join: a (band, sig)
     bucket of n members emits n² candidate rows, so one hot signature
@@ -208,15 +220,37 @@ def similarity_edges(
         "norm", *flag, "shingles",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     )
-    if hash_fn == "md5":
-        h = F.array_min(F.transform(
+    def _row_min(j):
+        # row j of the band: an independent MinHash — seed (band, j)
+        if hash_fn == "md5":
+            return F.array_min(F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat_ws(
+                    ":", F.col("band").cast("string"),
+                    F.lit(str(j)), s)),
+            ))
+        return F.array_min(F.transform(
             F.col("shingles"),
-            lambda s: F.md5(F.concat_ws(
-                ":", F.col("band").cast("string"), s)),
-        ))
+            lambda s: F.xxhash64(F.col("band"), F.lit(j), s)))
+
+    if band_rows <= 1:
+        # r=1 keeps the historical signature formula (band, shingle) —
+        # the kg_similarity_edges DuckDB twin interpolates it
+        if hash_fn == "md5":
+            h = F.array_min(F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat_ws(
+                    ":", F.col("band").cast("string"), s)),
+            ))
+        else:
+            h = F.array_min(F.transform(
+                F.col("shingles"), lambda s: F.xxhash64(F.col("band"), s)))
     else:
-        h = F.array_min(F.transform(
-            F.col("shingles"), lambda s: F.xxhash64(F.col("band"), s)))
+        # r-row band signature: all r row-minima must match for a bucket
+        # collision (P = jaccard^r); fold them into one join key
+        mins = [_row_min(j) for j in range(band_rows)]
+        h = (F.md5(F.concat_ws("|", *mins)) if hash_fn == "md5"
+             else F.xxhash64(*mins))
     # keep the persisted handle (sig is reassigned below) for the release
     sig_raw = banded.select("norm", *flag, "band", h.alias("sig")).persist()
     sig = sig_raw
@@ -238,6 +272,14 @@ def similarity_edges(
         cand.select(F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    extra_releases = []
+    if stats is not None:
+        # telemetry for cap/band tuning studies — costs one extra action
+        # (and a persist so the verify join below reuses it), so production
+        # callers leave stats=None
+        cand = cand.persist()
+        stats["n_candidates"] = cand.count()
+        extra_releases.append(cand.unpersist)
     # Jaccard verification on per-norm sets: |cand| rows with a vectorized
     # JVM array_intersect each — not a candidates×shingles equi-join.
     a_sets = norm_sets.select(F.col("norm").alias("a"),
@@ -257,7 +299,7 @@ def similarity_edges(
         )
         .select("a", "b")
     )
-    releases = [norm_sets.unpersist, sig_raw.unpersist]
+    releases = [norm_sets.unpersist, sig_raw.unpersist, *extra_releases]
     if cache_registry is not None:
         cache_registry.extend(releases)
     else:

@@ -70,26 +70,34 @@ def main() -> None:
         pages_path, workdir = sys.argv[2], sys.argv[3]
         n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 32
         extractor = sys.argv[5] if len(sys.argv) > 5 else "rule"
+        # extract crash grain: an int wave size, or "none" for the
+        # single-job fast path (pipeline default: waves of 4)
+        wave = sys.argv[6] if len(sys.argv) > 6 else "4"
+        wave_size = None if wave.lower() == "none" else int(wave)
         from seq2kg_spark.plans.pipeline import run_kg_pipeline
         from seq2kg_spark.sources.pages import read_pages
 
         pages = read_pages(spark, pages_path)
         t0 = time.monotonic()
         report = run_kg_pipeline(pages, workdir, n_buckets=n_buckets,
-                                 extractor=extractor)
+                                 extractor=extractor,
+                                 extract_wave_size=wave_size)
         wall = time.monotonic() - t0
         counts = {
             name: spark.read.parquet(report["paths"][name]).count()
             for name in ("curated", "triples", "nodes", "edges")
         }
-        # per-stage wall from lineage (job_wall_ms is recorded per bucket
-        # row; one multi-bucket job => take the max per stage+run)
+        # per-stage wall from lineage: job_wall_ms is shared by every
+        # bucket row of one committed job (a wave, or the whole stage on
+        # the single-job path) — sum one value per (stage, run, commit)
         from pyspark.sql import functions as F
         lin = spark.read.parquet(report["paths"]["lineage"])
         stage_walls = {
-            r["stage"]: r["wall_s"]
-            for r in lin.groupBy("stage").agg(
-                (F.max("job_wall_ms") / 1000.0).alias("wall_s")).collect()
+            r["stage"]: round(r["wall_s"], 1)
+            for r in lin.select("stage", "run_id", "committed_at",
+                                "job_wall_ms").distinct()
+            .groupBy("stage").agg(
+                (F.sum("job_wall_ms") / 1000.0).alias("wall_s")).collect()
         }
         out = {
             "wall_s": round(wall, 1),
