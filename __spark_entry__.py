@@ -755,7 +755,11 @@ def q_kg_similarity_edges(spark, sf_dir):
         F.concat(F.lit("  "), F.col("p_type"), F.lit(" 's")).alias("obj"),
     )
     m = mentions_from_triples(trip)
-    return similarity_edges(m, threshold=0.55, hash_fn="md5")
+    # (n_bands=6, band_rows=1) pinned: the historical signature formula the
+    # DuckDB twin interpolates (the package default moved to r=4/b=32 after
+    # the round-7 zipf recall study)
+    return similarity_edges(m, threshold=0.55, hash_fn="md5",
+                            n_bands=6, band_rows=1)
 
 
 def q_kg_canonical_nodes(spark, sf_dir):

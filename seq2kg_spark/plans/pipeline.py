@@ -82,8 +82,9 @@ def run_kg_pipeline(
     n_buckets: int = 16,
     num_partitions: int | None = None,
     canon_threshold: float = 0.55,
-    canon_n_bands: int = 6,
+    canon_n_bands: int | None = None,
     canon_max_bucket: int | None = None,
+    canon_band_rows: int | None = None,
     extractor: str = "rule",
     extract_wave_size: int | None = 4,
 ) -> dict:
@@ -176,12 +177,18 @@ def run_kg_pipeline(
              F.expr("bit_xor(hc)").alias("x"))
         .collect()[0]
     )
-    from seq2kg_spark.operators.canonicalize import SIM_MAX_BUCKET_DEFAULT
+    from seq2kg_spark.operators.canonicalize import (SIM_BAND_ROWS_DEFAULT,
+                                                     SIM_MAX_BUCKET_DEFAULT,
+                                                     SIM_N_BANDS_DEFAULT)
     if canon_max_bucket is None:
         canon_max_bucket = SIM_MAX_BUCKET_DEFAULT
+    if canon_n_bands is None:
+        canon_n_bands = SIM_N_BANDS_DEFAULT
+    if canon_band_rows is None:
+        canon_band_rows = SIM_BAND_ROWS_DEFAULT
     extract_fp = (
         f"v3|t={canon_threshold!r}|b={canon_n_bands}|m={canon_max_bucket}"
-        f"|n={_agg['n']}|x={_agg['x']}"
+        f"|r={canon_band_rows}|n={_agg['n']}|x={_agg['x']}"
     )
     # one-row parquet, not a local file: workdir may be HDFS/S3
     marker_path = os.path.join(workdir, "canonical_done")
@@ -203,7 +210,8 @@ def run_kg_pipeline(
         t0 = time.monotonic()
         nodes, edges = canonicalize(
             triples, threshold=canon_threshold, n_bands=canon_n_bands,
-            max_bucket=canon_max_bucket, stats=canon_stats)
+            max_bucket=canon_max_bucket, band_rows=canon_band_rows,
+            stats=canon_stats)
         nodes.write.mode("overwrite").parquet(nodes_path)
         edges.write.mode("overwrite").parquet(edges_path)
         # both outputs are on disk — drop the naming-chain checkpoints so

@@ -308,8 +308,9 @@ def stream_incremental_canonicalize(
     *,
     available_now: bool = False,
     threshold: float = 0.55,
-    n_bands: int = 6,
+    n_bands: int | None = None,
     max_bucket: int | None = None,
+    band_rows: int | None = None,
     keep_snapshots: int = 2,
     stats_sink: list | None = None,
 ):
@@ -335,13 +336,17 @@ def stream_incremental_canonicalize(
     operator watches.
     """
     from seq2kg_spark.operators.canonicalize import (
+        SIM_BAND_ROWS_DEFAULT,
         SIM_MAX_BUCKET_DEFAULT,
+        SIM_N_BANDS_DEFAULT,
         incremental_assign,
         mentions_from_triples,
         release_caches,
     )
 
     mb = SIM_MAX_BUCKET_DEFAULT if max_bucket is None else max_bucket
+    nb = SIM_N_BANDS_DEFAULT if n_bands is None else n_bands
+    br = SIM_BAND_ROWS_DEFAULT if band_rows is None else band_rows
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -352,8 +357,8 @@ def stream_incremental_canonicalize(
         new_norms = mentions_from_triples(batch_df).select("norm")
         stats: dict = {}
         merged = incremental_assign(
-            old, new_norms, threshold=threshold, n_bands=n_bands,
-            max_bucket=mb, stats=stats)
+            old, new_norms, threshold=threshold, n_bands=nb,
+            max_bucket=mb, band_rows=br, stats=stats)
         merged.write.mode("overwrite").parquet(
             f"{assign_dir}/batch={batch_id}")
         # snapshot is on disk — release the CC checkpoint backing `merged`

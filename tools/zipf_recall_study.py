@@ -121,11 +121,25 @@ def run_setting(spark, norms, cap, r, n_bands, threshold, truths):
     return rec
 
 
-def study_corpus(spark, name, norms, truths, threshold, results, md_rows):
+def study_corpus(spark, name, norms, truths, threshold, results, md_rows,
+                 big=False, include_infeasible=False):
     n_norms = norms.count()
     rows = []
     for cap in CAPS:
         for r, nb in SETTINGS:
+            if big and cap == 10_000 and r == 1 and not include_infeasible:
+                # Measured infeasible: at 150k-entity zipf (300k norms) the
+                # cap=10k/r=1 candidate join degenerates into straggler
+                # tasks on ~10k-wide bucket pairs (>17 min on one 2-task
+                # stage before the run was killed) — exactly the skew the
+                # cap=1k default was introduced to stop.  Recorded as a
+                # finding, not a timing.
+                rows.append({"cap": cap, "band_rows": r, "n_bands": nb,
+                             "infeasible": "straggler bucket-pair join; "
+                                           "killed after >17 min"})
+                print(f"[{name}] cap={cap} r={r} b={nb} -> SKIPPED "
+                      "(measured infeasible; see tool source)", flush=True)
+                continue
             rec = run_setting(spark, norms, cap, r, nb, threshold, truths)
             rows.append(rec)
             print(f"[{name}] cap={cap} r={r} b={nb} -> "
@@ -149,6 +163,8 @@ def main():
     ap.add_argument("--big-salad", type=int, default=400_000)
     ap.add_argument("--threshold", type=float, default=0.55)
     ap.add_argument("--skip-big", action="store_true")
+    ap.add_argument("--skip-small", action="store_true")
+    ap.add_argument("--include-infeasible", action="store_true")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--markdown", action="store_true")
@@ -175,21 +191,24 @@ def main():
     md_rows: dict = {}
 
     # ---- SMALL leg: exact all-pairs truth ----
-    zn = zipf_norms(args.entities)
-    truth, n_truth = exact_truth(spark, zn.select("norm"), args.threshold)
-    st, n_st = same_entity_truth(spark, zn, args.threshold)
-    study_corpus(spark, "zipf-small", zn.select("norm"),
-                 {"recall_exact": (truth, n_truth),
-                  "recall_same_entity": (st, n_st)},
-                 args.threshold, results, md_rows)
-    truth.unpersist(); st.unpersist(); zn.unpersist()
+    if not args.skip_small:
+        zn = zipf_norms(args.entities)
+        truth, n_truth = exact_truth(
+            spark, zn.select("norm"), args.threshold)
+        st, n_st = same_entity_truth(spark, zn, args.threshold)
+        study_corpus(spark, "zipf-small", zn.select("norm"),
+                     {"recall_exact": (truth, n_truth),
+                      "recall_same_entity": (st, n_st)},
+                     args.threshold, results, md_rows)
+        truth.unpersist(); st.unpersist(); zn.unpersist()
 
-    sn = build_salad_norms(spark, n_norms=args.salad).distinct().persist()
-    truth, n_truth = exact_truth(spark, sn, args.threshold)
-    study_corpus(spark, "salad-small", sn,
-                 {"recall_exact": (truth, n_truth)},
-                 args.threshold, results, md_rows)
-    truth.unpersist(); sn.unpersist()
+        sn = build_salad_norms(
+            spark, n_norms=args.salad).distinct().persist()
+        truth, n_truth = exact_truth(spark, sn, args.threshold)
+        study_corpus(spark, "salad-small", sn,
+                     {"recall_exact": (truth, n_truth)},
+                     args.threshold, results, md_rows)
+        truth.unpersist(); sn.unpersist()
 
     # ---- BIG leg: where the cap binds ----
     if not args.skip_big:
@@ -197,13 +216,15 @@ def main():
         st, n_st = same_entity_truth(spark, zb, args.threshold)
         study_corpus(spark, "zipf-big", zb.select("norm"),
                      {"recall_same_entity": (st, n_st)},
-                     args.threshold, results, md_rows)
+                     args.threshold, results, md_rows, big=True,
+                     include_infeasible=args.include_infeasible)
         st.unpersist(); zb.unpersist()
 
         sb = build_salad_norms(
             spark, n_norms=args.big_salad).distinct().persist()
         study_corpus(spark, "salad-big", sb, {},    # cost only
-                     args.threshold, results, md_rows)
+                     args.threshold, results, md_rows, big=True,
+                     include_infeasible=args.include_infeasible)
         sb.unpersist()
 
     print(json.dumps(results, indent=2))
@@ -216,6 +237,11 @@ def main():
                   " candidates | wall (s) |")
             print("|---|---|---|---|---|---|---|")
             for s in rows:
+                if "infeasible" in s:
+                    print(f"| {s['cap']} | {s['band_rows']} | "
+                          f"{s['n_bands']} | — | — | INFEASIBLE: "
+                          f"{s['infeasible']} | — |")
+                    continue
                 print(f"| {s['cap']} | {s['band_rows']} | {s['n_bands']} | "
                       f"{s.get('recall_exact', '—')} | "
                       f"{s.get('recall_same_entity', '—')} | "
