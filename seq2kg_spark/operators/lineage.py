@@ -52,6 +52,18 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def with_bucket(df: DataFrame, key_col: str = "url", n_buckets: int = 16) -> DataFrame:
+    """Attach the stage's bucket id: ``pmod(xxhash64(key), n_buckets)``.
+
+    If the input already carries a ``bucket`` column it is TRUSTED as that
+    same function of the key (true for any table a previous stage committed
+    via ``run_stage_checkpointed`` — it partitions output by this very
+    derivation).  Keeping the stored column matters for the wave path: a
+    filter on a parquet PARTITION column prunes the scan to the wave's
+    directories, while re-deriving it from ``xxhash64(key)`` forces every
+    wave to scan the full table just to throw most of it away.
+    """
+    if "bucket" in df.columns:
+        return df
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
     )

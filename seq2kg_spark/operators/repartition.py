@@ -35,6 +35,17 @@ def salted_size_repartition(
     token count correlates).  Rows land in ``log2``-ish size buckets; the
     shuffle key is (size_bucket, xxhash64(key) % salt_buckets), spreading
     each size class across ``salt_buckets`` tasks.
+
+    The partition count is always PINNED (``repartition(N, cols)`` carries
+    the REPARTITION_BY_NUM shuffle origin, which AQE must preserve).  A
+    column-only ``repartition(cols)`` is AQE-coalescable, and AQE's byte
+    heuristic (~64 MB targets) starves the CPU-bound mapInPandas stage this
+    exchange feeds: extraction costs ~100 CPU-ms per KB of text, so a few
+    tens of MB of compressed prose is hours of Python work — measured at
+    10 M pages, byte-coalescing left a 32-core box running 13 tasks
+    (0.263 ms/page vs 0.141 at 5 M where more bytes masked it).  Default N =
+    max(spark.sql.shuffle.partitions, 2 × defaultParallelism): a multiple of
+    total cores, never a function of bytes.
     """
     size_c = F.col(size_col) if isinstance(size_col, str) else size_col
     key_c = F.col(key_col) if isinstance(key_col, str) else key_col
@@ -44,8 +55,11 @@ def salted_size_repartition(
     ).alias("__size_bucket")
     salt = F.pmod(F.xxhash64(key_c), F.lit(salt_buckets)).alias("__salt")
     out = df.withColumns({"__size_bucket": bucket, "__salt": salt})
-    if num_partitions:
-        out = out.repartition(num_partitions, "__size_bucket", "__salt")
-    else:
-        out = out.repartition("__size_bucket", "__salt")
+    if not num_partitions:
+        spark = df.sparkSession
+        num_partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            2 * spark.sparkContext.defaultParallelism,
+        )
+    out = out.repartition(num_partitions, "__size_bucket", "__salt")
     return out.drop("__size_bucket", "__salt")

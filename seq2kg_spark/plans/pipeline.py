@@ -118,7 +118,10 @@ def run_kg_pipeline(
         key_col="url",
         n_buckets=n_buckets,
     )
-    pages = spark.read.parquet(curated_path).drop("bucket")
+    # keep the stored ``bucket`` PARTITION column: with_bucket trusts it, so
+    # each extract wave's ``bucket IN (...)`` filter prunes the scan to the
+    # wave's directories instead of re-hashing the full curated table
+    pages = spark.read.parquet(curated_path)
 
     def extract_stage(bucketed: DataFrame) -> DataFrame:
         cols = bucketed.select("url", "text", "lang", "bucket")
