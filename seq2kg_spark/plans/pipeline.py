@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seq2kg_spark.operators.canonicalize import canonicalize
@@ -28,26 +28,51 @@ from seq2kg_spark.operators.extract import extract_triples
 from seq2kg_spark.operators.lineage import run_stage_checkpointed
 
 
-def curate_stage_fn(full_pages: DataFrame):
+def curate_stage_fn(full_pages: DataFrame, *, key_col: str = "url",
+                    n_buckets: int = 16):
     """Stage-0 corpus curation: keep English, quality-'ok', first-copy
     pages (min url per exact text hash wins).
 
     Dedup retention is a GLOBAL decision but resume is per-bucket, so the
-    keeper table is built from the FULL input (closure), never from the
+    winner set is computed from the FULL input (closure), never from the
     pending-bucket slice — otherwise a resumed run could keep a duplicate
     whose first copy sits in an already-committed bucket.  min-url-per-md5
     is deterministic, so recomputing it on resume reproduces the killed
-    run's decisions exactly; the recompute is one hash-keyed aggregation,
-    cheap next to extraction.  The gates are pure Catalyst.
+    run's decisions exactly.
+
+    Physical plan (the "decode-once barrier" shape — see
+    tools/curate_plan_ab.py and BASELINE.md round 7 for the shootout):
+    lang gate (cheap column predicate, pushes into the scan) → ONE
+    projection of the html→text decode → hash shuffle on md5(text) →
+    ``row_number`` window picks the min-``key_col`` winner per hash →
+    quality gate ABOVE the window → broadcast-semi filter to the slice's
+    buckets.
+
+    Two plan hazards this shape avoids, both measured:
+
+    * FilterExec does no subexpression elimination across its predicate
+      splits, so a quality filter sitting below the text projection
+      re-inlines the 25-step decode chain per feature reference (the
+      executed plan showed 144 regexp_replace nodes).  Filters do not
+      push through a Window on non-partition columns, so placing the
+      quality gate above the window makes its features evaluate
+      materialized column refs.  Semantics are unchanged: every row of an
+      md5 group shares the same text, hence the same quality label.
+    * The previous keeper-table formulation (groupBy + equi-join back)
+      gated the corpus TWICE and joined two corpus-sized relations.
+
+    2M-page ABBA shootout, identical fingerprints: keeper-join 81.9 s,
+    window-below-gate 49.3 s, this plan **19.1 s** (steal <1 s on the
+    deciding legs).
     """
     from seq2kg_spark.functions import text_stats as TS
     from seq2kg_spark.functions.html_text import (decode_html_expr,
                                                   html_to_text_expr)
+    from seq2kg_spark.operators.lineage import with_bucket
 
-    def gate(df: DataFrame) -> DataFrame:
+    def decode_once(df: DataFrame) -> DataFrame:
         # Pages that arrive with raw HTML only (text IS NULL) get stage-0
-        # boilerplate extraction inline — a pure Catalyst projection, so
-        # the gate stays whole-stage-codegen with or without it.
+        # boilerplate extraction inline — a pure Catalyst projection.
         if "html" in df.columns:
             df = df.withColumn(
                 "text",
@@ -56,21 +81,30 @@ def curate_stage_fn(full_pages: DataFrame):
                     html_to_text_expr(decode_html_expr(F.col("html"))),
                 ),
             )
-        return df.where(
-            (F.col("lang") == "en")
-            & (TS.quality_label(F.col("text")) == "ok")
-        )
-
-    keep = gate(full_pages).groupBy(F.md5("text").alias("_h")).agg(
-        F.min("url").alias("_keep_url"))
+        return df
 
     def fn(bucketed: DataFrame) -> DataFrame:
-        g = gate(bucketed).withColumn("_h", F.md5("text"))
-        return (
-            g.join(keep, "_h")
-            .where(F.col("url") == F.col("_keep_url"))
-            .drop("_h", "_keep_url")
+        g = (
+            decode_once(with_bucket(full_pages, key_col, n_buckets)
+                        .where(F.col("lang") == "en"))
+            .withColumn("_h", F.md5("text"))
         )
+        w = Window.partitionBy("_h").orderBy(key_col)
+        winners = (
+            g.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_h")
+            .where(TS.quality_label(F.col("text")) == "ok")
+        )
+        # Restrict the global winner set to the slice's buckets.  The
+        # distinct bucket-id list is ≤ n_buckets rows — a broadcast semi
+        # join that Catalyst turns into a cheap filter.
+        slice_buckets = (
+            with_bucket(bucketed, key_col, n_buckets)
+            .select("bucket").distinct()
+        )
+        return winners.join(
+            F.broadcast(slice_buckets), "bucket", "leftsemi")
 
     return fn
 
@@ -111,7 +145,7 @@ def run_kg_pipeline(
 
     report_curate = run_stage_checkpointed(
         pages,
-        curate_stage_fn(pages),
+        curate_stage_fn(pages, key_col="url", n_buckets=n_buckets),
         stage="curate",
         out_path=curated_path,
         lineage_path=lineage_path,
