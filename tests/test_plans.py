@@ -67,3 +67,28 @@ def test_filter_battery_stays_codegen(spark):
     )
     plan = _plan(apply_filter_battery(t))
     assert "EvalPython" not in plan  # pure Catalyst, no Python round trip
+
+
+def test_curate_barrier_plan_shape(spark, pages, tmp_path):
+    """The decode-once barrier (BASELINE.md round 7): the html→text decode
+    chain must appear a bounded number of times in the executed plan.  The
+    superseded gate-below-projection shape re-inlined it per quality
+    feature (144 regexp_replace nodes at the time of the fix); the barrier
+    shape carries it in the scan-side projection only."""
+    path = str(tmp_path / "pages_curate")
+    pages.write.parquet(path)
+    df = spark.read.parquet(path)
+    from seq2kg_spark.operators.lineage import with_bucket
+    from seq2kg_spark.plans.pipeline import curate_stage_fn
+
+    out = curate_stage_fn(df, n_buckets=8)(with_bucket(df, "url", 8))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one decode inline = 18 regexp_replace nodes; allow the projection
+    # plus slack, but nowhere near the 144 of the re-inlining shape
+    assert plan.count("regexp_replace") <= 40, plan.count("regexp_replace")
+    # map-side winner pruning before the md5 exchange
+    assert "WindowGroupLimit" in plan
+    # exactly one data shuffle (the md5 hash partitioning); the bucket
+    # filter is a broadcast, not an exchange
+    assert plan.count("Exchange hashpartitioning(_h") == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -20,6 +20,14 @@ def plan_of(df) -> str:
     return buf.getvalue().strip()
 
 
+def _curate_plan(pages):
+    from seq2kg_spark.operators.lineage import with_bucket
+    from seq2kg_spark.plans.pipeline import curate_stage_fn
+
+    return curate_stage_fn(pages, n_buckets=16)(
+        with_bucket(pages, "url", 16))
+
+
 def main() -> None:
     import __spark_entry__ as E
     from seq2kg_spark.session import get_spark
@@ -64,6 +72,13 @@ def main() -> None:
         "kg_m4_decode: one narrow MapInPandas over per-doc token arrays "
         "(no shuffle at all — decode is per-row)":
             E.q_kg_m4_decode(spark, sf_dir),
+        "curate_stage_fn (pages → curated): decode-once barrier — lang "
+        "filter pushed to scan, ONE html→text decode projection, "
+        "WindowGroupLimit prunes map-side before the md5 exchange, "
+        "quality gate ABOVE the window on materialized text (FilterExec "
+        "does no cross-split subexpression elimination, so a gate below "
+        "the projection re-inlines the decode chain per feature), "
+        "broadcast-semi bucket filter": _curate_plan(pages),
     }
 
     out = ["# PLANS — formatted physical plans for the headline operators",
