@@ -37,10 +37,18 @@ def _shuffle_metrics(spark) -> dict:
         writes = [s.get("shuffleWriteBytes", 0) for s in stages]
         spills = [s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
                   for s in stages]
+        top_spill = sorted(
+            ({"stage": s["stageId"],
+              "name": s["name"].split("\n")[0][:60],
+              "spill_mb": round((s.get("memoryBytesSpilled", 0)
+                                 + s.get("diskBytesSpilled", 0)) / 2**20, 1)}
+             for s in stages),
+            key=lambda r: -r["spill_mb"])[:3]
         return {
             "peak_stage_shuffle_write_mb": round(max(writes, default=0) / 2**20, 1),
             "total_shuffle_write_mb": round(sum(writes) / 2**20, 1),
             "total_spill_mb": round(sum(spills) / 2**20, 1),
+            "top_spill_stages": [r for r in top_spill if r["spill_mb"] > 0],
             "n_stages": len(stages),
         }
     except Exception as exc:  # telemetry only — never fail the run
