@@ -200,18 +200,29 @@ def run_kg_pipeline(
     # threshold/n_bands must NOT skip onto stale graph tables, and a
     # recomputed bucket can change content without changing its count.
     # The combiner must be order-independent AND multiplicity-sensitive:
-    # a bare bit_xor of per-row hashes cancels even multiplicities, so a
-    # bucket swap that trades one duplicated row set for another of equal
-    # total count would collide.  Fold the per-hash COUNT into a second
-    # hash level instead (groupBy h is map-side-combined and overflow-free
-    # under ANSI, unlike sum(h)).
+    # a bare bit_xor of per-row hashes cancels even multiplicities.  An
+    # earlier formulation folded per-hash COUNTS via groupBy(h) — but the
+    # row hashes are near-unique, so the map-side hash agg built a
+    # ~distinct-per-task hash table for nothing and spilled 17.7 GB at
+    # the 20M-page scale point (BASELINE.md round 7).  Instead combine
+    # bit_xor(h) with the SUMS of four 16-bit limbs of h: each limb sum
+    # stays below 2^63 up to ~10^14 rows (no ANSI overflow), every term
+    # is a map-side partial aggregate over a single global group — one
+    # scan, a one-row shuffle, nothing to spill — and a corruption must
+    # now preserve the count, the xor, AND all four limb sums at once.
     _hcols = [F.col(c) for c in triples.columns]
+    _h = F.xxhash64(*_hcols)
+    _limbs = [
+        F.shiftrightunsigned(_h, k * 16).bitwiseAND(F.lit(0xFFFF))
+        for k in range(4)
+    ]
     _agg = (
-        triples.select(F.xxhash64(*_hcols).alias("h"))
-        .groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-        .select(F.xxhash64("h", "c").alias("hc"), F.col("c"))
-        .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("n"),
-             F.expr("bit_xor(hc)").alias("x"))
+        triples.select(
+            _h.alias("h"),
+            *[limb.alias(f"l{k}") for k, limb in enumerate(_limbs)])
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.expr("bit_xor(h)").alias("x"),
+             *[F.sum(f"l{k}").alias(f"s{k}") for k in range(4)])
         .collect()[0]
     )
     from seq2kg_spark.operators.canonicalize import (SIM_BAND_ROWS_DEFAULT,
@@ -224,8 +235,9 @@ def run_kg_pipeline(
     if canon_band_rows is None:
         canon_band_rows = SIM_BAND_ROWS_DEFAULT
     extract_fp = (
-        f"v3|t={canon_threshold!r}|b={canon_n_bands}|m={canon_max_bucket}"
+        f"v4|t={canon_threshold!r}|b={canon_n_bands}|m={canon_max_bucket}"
         f"|r={canon_band_rows}|n={_agg['n']}|x={_agg['x']}"
+        f"|s={_agg['s0']},{_agg['s1']},{_agg['s2']},{_agg['s3']}"
     )
     # one-row parquet, not a local file: workdir may be HDFS/S3
     marker_path = os.path.join(workdir, "canonical_done")
