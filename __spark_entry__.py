@@ -75,20 +75,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _word_candidates(docs: DataFrame, max_words: int = 30) -> DataFrame:
-    """Sliding word-trigram candidate triples from documents.text."""
+    """Sliding word-trigram candidate triples from documents.text.
+
+    The token array is materialized in its own projection before the
+    trigram lambda: ``element_at(toks, i)`` inside ``transform`` inlines
+    the full ``toks`` expression (Catalyst does no CSE across lambda
+    boundaries), so the former single-expression form re-ran
+    split+filter+slice ~3x per trigram — measured 21s -> 1.4s at sf1.0
+    for identical rows.  CollapseProject keeps the boundary because the
+    alias is referenced more than once by non-cheap expressions.
+    ``size(_toks) >= 3`` is equivalent to the spec's ``size(words) >= 3``
+    since slice(..., 1, max_words) only truncates above max_words >= 3.
+    """
     toks = F.slice(TS.words(F.col("text")), 1, max_words)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    base = docs.select("doc_id", toks.alias("_toks")).where(
+        F.size("_toks") >= 3
+    )
+    tk = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(1)))
     trips = F.transform(
         idx,
         lambda i: F.struct(
-            F.element_at(toks, i).alias("subj"),
-            F.element_at(toks, i + 1).alias("pred"),
-            F.element_at(toks, i + 2).alias("obj"),
+            F.element_at(tk, i).alias("subj"),
+            F.element_at(tk, i + 1).alias("pred"),
+            F.element_at(tk, i + 2).alias("obj"),
         ),
     )
     return (
-        docs.where(F.size(TS.words(F.col("text"))) >= 3)
-        .select("doc_id", F.explode(trips).alias("t"))
+        base.select("doc_id", F.explode(trips).alias("t"))
         .select("doc_id", "t.subj", "t.pred", "t.obj")
         .where(F.col("obj").isNotNull())
     )
