@@ -335,9 +335,20 @@ def minhash_lsh_pairs(
     # candidates×shingles join explodes to |cand| × avg-shingles rows; the
     # set join is |cand| rows with a vectorized JVM intersect per row, and
     # the doc→set dictionary is join-key-partitioned (broadcast when small).
+    #
+    # On the scale (non-md5) path the verification sets are xxhash64-coded
+    # AFTER the sort+slice, so the compared prefix set is exactly the
+    # spec's and int64 intersection replaces string intersection (measured
+    # 18.3s → 14s at sf1.0, bit-identical pairs; collision probability over
+    # an intersect is ~|cand|·max_shingles²/2⁶⁴ ≈ 1e-9 at 10M pairs).  The
+    # md5/oracle path keeps the string sets so the DuckDB twin stays
+    # provably bit-exact on any input.
+    prefix = F.slice(F.array_sort(F.col("sh")), 1, max_shingles)
+    if hash_fn != "md5":
+        prefix = F.transform(prefix, lambda s: F.xxhash64(s))
     doc_sets = base.select(
         "doc_id",
-        F.slice(F.array_sort(F.col("sh")), 1, max_shingles).alias("shingles"),
+        prefix.alias("shingles"),
         F.size("sh").alias("n_true"),
     ).withColumn("n", F.size("shingles"))
     a_sets = doc_sets.select(F.col("doc_id").alias("doc_a"),
@@ -374,58 +385,69 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
     bit_j(word) = parity of hex nibble j of md5(word); doc bit j = majority
     over words.  Output: (doc_id, simhash string of '0'/'1' x 16).
     """
+    # One wide aggregation (16 conditional sums) instead of a 16x bit
+    # explode + two groupBys: bit j is set iff the majority of words have
+    # an odd nibble j, i.e. 2*cnt_j > n_words — identical to the former
+    # sum-of-±1 > 0 formulation, with a 16x smaller pre-shuffle row count.
     w = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
         ).alias("word"),
     ).withColumn("h", F.md5("word"))
-    bits = w.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-        F.col("h"),
-    ).withColumn(
-        "contrib",
-        F.when(
-            F.instr(F.lit("13579bdf"), F.substring("h", F.col("j") + 1, 1)) > 0,
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
+    agg = w.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    F.instr(F.lit("13579bdf"), F.substring("h", j + 1, 1)) > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias(f"c{j}")
+            for j in range(16)
+        ],
     )
-    per_bit = (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.concat_ws(
-            "", F.transform(F.array_sort(F.collect_list(F.struct("j", "bit"))),
-                            lambda s: s["bit"])
-        ).alias("simhash")
-    )
+    bit = [
+        F.when(F.col(f"c{j}") * 2 > F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+        for j in range(16)
+    ]
+    return agg.select("doc_id", F.concat(*bit).alias("simhash"))
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash via xxhash64 — the scale variant (JVM-side ints,
     SQL-expr bit arithmetic because shift-by-column needs expr())."""
+    # One wide aggregation (64 bit-count sums) instead of the former 64x
+    # bit explode (50k docs x ~54 words x 64 = 173M pre-shuffle rows at
+    # sf1.0) + two groupBys.  Bit j is set iff 2*cnt_j > n_words, identical
+    # to sum-of-±1 > 0; (h >> j) & 1 equals the old (h >> j) % 2 != 0 test
+    # for negative hashes too (-1 & 1 == 1).  Measured 12.5s → 2.3s (noop
+    # sink) at sf1.0 with identical output.
     w = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
         ).alias("word"),
     ).withColumn("h", F.xxhash64("word"))
-    bits = (
-        w.select("doc_id", "h",
-                 F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"))
-        .withColumn("contrib",
-                    F.expr("CASE WHEN (h >> j) % 2 != 0 THEN 1 ELSE -1 END"))
+    agg = w.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+            for j in range(64)
+        ],
     )
-    per_bit = (
-        bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
-        .withColumn("bitval",
-                    F.expr("CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END"))
-    )
-    return per_bit.groupBy("doc_id").agg(F.sum("bitval").alias("simhash64"))
+    bitvals = [
+        F.when(
+            F.col(f"c{j}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    total = bitvals[0]
+    for b in bitvals[1:]:
+        total = total + b
+    return agg.select("doc_id", total.alias("simhash64"))
 
 
 def embedding_near_dup_pairs(
