@@ -190,6 +190,33 @@ def forward_logits(x: np.ndarray, w: dict) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
+def forward_logits_flat(
+    x: np.ndarray, w: dict, lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`forward_logits` + a gather of the REAL wordpiece positions.
+
+    Downstream pooling only reads positions ``t < lengths[i]``, so the
+    (B, T, L) logit tensors are flattened to (N_real, L) once here and the
+    per-sentence Python slicing downstream disappears.  Returns
+    (tr_flat, et_flat, offsets) where sentence i's rows are
+    ``flat[offsets[i]:offsets[i+1]]`` in ascending-t order.
+
+    Deliberately a pure GATHER after the full-tensor heads: running the
+    head matmuls on only the gathered rows would cut ~82% of their flops
+    (mean sentence length ~18 of T=100) but changes the sgemm M dimension,
+    and that flipped 3 decoded triples in 1.39M on the 50k corpus — the
+    module's contract is corpus-level decoded-triple IDENTITY, so the
+    cheaper form was measured and rejected (heads are ~7% of forward
+    cost; the GRU time loop dominates)."""
+    tr_logits, et_logits = forward_logits(x, w)
+    T = x.shape[1]
+    lengths = np.asarray(lengths, dtype=np.int64)
+    idx_b, idx_t = np.nonzero(np.arange(T)[None, :] < lengths[:, None])
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return tr_logits[idx_b, idx_t], et_logits[idx_b, idx_t], offsets
+
+
 def pool_wordpieces_to_tokens(
     logits: np.ndarray, tok_to_wp_expanded: list[list[int]]
 ) -> np.ndarray:
@@ -200,6 +227,35 @@ def pool_wordpieces_to_tokens(
     for j, wp_idxs in enumerate(tok_to_wp_expanded):
         if wp_idxs:
             out[j] = logits[wp_idxs].mean(axis=0)
+    return out
+
+
+def pool_wordpieces_flat(
+    flat_logits: np.ndarray,
+    row_ids: np.ndarray,
+    seg_starts: np.ndarray,
+) -> np.ndarray:
+    """Batched M3 pooling: ONE gather + segmented mean for every token of
+    every sentence in the batch (replaces the per-sentence/per-token Python
+    loop of :func:`pool_wordpieces_to_tokens` on the inference hot path —
+    same mean, token rows with no wordpieces stay zero).
+
+    ``row_ids``: flat wordpiece-row index per (token, wordpiece), token-
+    major, ascending within a token; ``seg_starts``: start offset of each
+    token's slice in ``row_ids``.  float32 segment sums are sequential
+    (np.add.reduceat), matching the per-token ``mean`` accumulation order.
+    """
+    n_tok = len(seg_starts)
+    width = flat_logits.shape[1]
+    out = np.zeros((n_tok, width), dtype=np.float32)
+    if n_tok == 0 or len(row_ids) == 0:
+        return out
+    counts = np.diff(np.append(seg_starts, len(row_ids)))
+    nonempty = counts > 0
+    gathered = flat_logits[row_ids]
+    sums = np.add.reduceat(gathered, seg_starts, axis=0)
+    # reduceat yields gathered[seg_starts[j]] for empty segments — mask out
+    out[nonempty] = sums[nonempty] / counts[nonempty, None].astype(np.float32)
     return out
 
 

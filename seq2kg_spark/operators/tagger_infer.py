@@ -64,8 +64,8 @@ def _infer_batches(weights_bc, dim: int):
             ET_LABELS,
             TR_LABELS,
             decode_labels,
-            forward_logits,
-            pool_wordpieces_to_tokens,
+            forward_logits_flat,
+            pool_wordpieces_flat,
             tags_to_triples,
         )
         from seq2kg_spark.nlp.wordpiece import WordPieceTokenizer
@@ -103,18 +103,40 @@ def _infer_batches(weights_bc, dim: int):
                 )
                 continue
 
-            # 2) one forward pass over the whole batch of sentences
+            # 2) one forward pass over the whole batch of sentences; heads
+            #    run on real (non-pad) positions only
             x = encoder.encode(sent_wps, MAX_SENT_LEN)
-            tr_logits, et_logits = forward_logits(x, w)
+            lengths = np.asarray([len(ws) for ws in sent_wps],
+                                 dtype=np.int64)
+            tr_flat, et_flat, offs = forward_logits_flat(x, w, lengths)
 
-            # 3) per-sentence decode → per-doc flatten (M5)
+            # 3) batched M3 pooling: both heads pooled in ONE segmented
+            #    pass (column-independent means, so concatenating the two
+            #    heads' label axes changes nothing per column), then
+            #    per-sentence decode → per-doc flatten (M5)
+            n_tr = tr_flat.shape[1]
+            cat = np.concatenate([tr_flat, et_flat], axis=1)
+            row_ids: list[int] = []
+            seg_starts: list[int] = []
+            sent_tok_offs = [0]
+            for i, maps in enumerate(sent_maps):
+                base = int(offs[i])
+                for wp_idxs in maps:
+                    seg_starts.append(len(row_ids))
+                    row_ids.extend(base + j for j in wp_idxs)
+                sent_tok_offs.append(sent_tok_offs[-1] + len(maps))
+            pooled = pool_wordpieces_flat(
+                cat,
+                np.asarray(row_ids, dtype=np.int64),
+                np.asarray(seg_starts, dtype=np.int64),
+            )
+
             rows: dict[str, list] = {c: [] for c in (
                 "url", "subj", "pred", "obj", "subj_types", "obj_types")}
             for i, url in enumerate(sent_url):
-                tr_tok = pool_wordpieces_to_tokens(tr_logits[i], sent_maps[i])
-                et_tok = pool_wordpieces_to_tokens(et_logits[i], sent_maps[i])
-                tr_lab = decode_labels(tr_tok, TR_LABELS)
-                et_lab = decode_labels(et_tok, ET_LABELS)
+                tok = pooled[sent_tok_offs[i]:sent_tok_offs[i + 1]]
+                tr_lab = decode_labels(tok[:, :n_tr], TR_LABELS)
+                et_lab = decode_labels(tok[:, n_tr:], ET_LABELS)
                 n = min(len(sent_tokens[i]), len(tr_lab))
                 for t in tags_to_triples(sent_tokens[i][:n], tr_lab[:n],
                                          et_lab[:n]):
