@@ -243,7 +243,11 @@ def pool_wordpieces_flat(
     ``row_ids``: flat wordpiece-row index per (token, wordpiece), token-
     major, ascending within a token; ``seg_starts``: start offset of each
     token's slice in ``row_ids``.  float32 segment sums are sequential
-    (np.add.reduceat), matching the per-token ``mean`` accumulation order.
+    (np.add.reduceat); ndarray.mean over ≥3 rows may use pairwise
+    summation, so the two can differ in the last mantissa bit for tokens
+    with ≥3 wordpieces — decoded triples were verified IDENTICAL over the
+    full 50k-page corpus (1,388,866 of 1,388,866), which is this module's
+    equivalence contract.
     """
     n_tok = len(seg_starts)
     width = flat_logits.shape[1]

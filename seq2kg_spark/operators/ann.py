@@ -31,46 +31,74 @@ def quantized(vec_col, quant: int = 1000):
     )
 
 
-def _flat_sum(terms):
+def _seq_sum(terms):
+    """Left-deep (sequential-order) sum — same accumulation order as the
+    HOF aggregate fold, so float results are bit-identical to it.  The
+    left-deep tree is O(n) deep: codegen recursion overflows the JVM stack
+    near a thousand terms, so callers cap n (see FLAT_FLOAT_MAX_DIM)."""
     out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out
 
 
+def _tree_sum(terms):
+    """Balanced-tree sum — O(log n) expression depth, safe for wide
+    vectors.  Only for EXACT arithmetic (int64): the addition order
+    differs from the sequential fold, which is invisible to integers and
+    NOT to floats."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+# Past this width the flat forms stop paying: the expression tree itself
+# gets large (compile time, codegen size) and for floats the left-deep
+# chain would overflow the codegen recursion stack (a 768-dim left-deep
+# sum StackOverflow'd the executor JVM — caught by test_production_dims).
+FLAT_INT_MAX_DIM = 4096
+FLAT_FLOAT_MAX_DIM = 256
+
+
 def int_dot(a, b, dim: int | None = None):
-    """Integer dot product.  With ``dim`` given, emits a flat
-    element_at-sum (whole-stage-codegen'd; higher-order-function lambdas
-    are interpreted) guarded by a size check that falls back to the
-    aggregate form — identical values either way, measured ~1.5x on the
+    """Integer dot product.  With ``dim`` given (and small enough), emits
+    a flat element_at-sum (whole-stage-codegen'd; higher-order-function
+    lambdas are interpreted) guarded by a size check that falls back to
+    the aggregate form — identical values either way (int64 addition is
+    associative, so the balanced tree is exact), measured ~1.5x on the
     sf1.0 brute-force scan."""
     hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    if dim is None:
+    if dim is None or dim < 1 or dim > FLAT_INT_MAX_DIM:
         return hof
-    flat = _flat_sum(
+    flat = _tree_sum(
         [F.element_at(a, i) * F.element_at(b, i) for i in range(1, dim + 1)]
     )
     return F.when((F.size(a) == dim) & (F.size(b) == dim), flat).otherwise(hof)
 
 
 def float_cosine(a, b, dim: int | None = None):
-    if dim is None:
+    if dim is None or dim < 1 or dim > FLAT_FLOAT_MAX_DIM:
         dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, v: acc + v)
         na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
         nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
         return dot / (na * nb)
-    # flat codegen form; the caller guarantees fixed-length vectors (the
-    # aggregate form's null-padding path cannot trigger on equal dims)
+    # flat codegen form, LEFT-DEEP so the accumulation order (and thus
+    # every float bit) matches the aggregate fold; the caller guarantees
+    # fixed-length vectors (the aggregate form's null-padding path cannot
+    # trigger on equal dims)
     ea = [F.element_at(a, i) for i in range(1, dim + 1)]
     eb = [F.element_at(b, i) for i in range(1, dim + 1)]
-    dot = _flat_sum([x * y for x, y in zip(ea, eb)])
-    na = F.sqrt(_flat_sum([x * x for x in ea]))
-    nb = F.sqrt(_flat_sum([y * y for y in eb]))
+    dot = _seq_sum([x * y for x, y in zip(ea, eb)])
+    na = F.sqrt(_seq_sum([x * x for x in ea]))
+    nb = F.sqrt(_seq_sum([y * y for y in eb]))
     flat = dot / (na * nb)
     return F.when((F.size(a) == dim) & (F.size(b) == dim), flat).otherwise(
         float_cosine(a, b)
