@@ -87,8 +87,23 @@ def curate_stage_fn(full_pages: DataFrame, *, key_col: str = "url",
         g = (
             decode_once(with_bucket(full_pages, key_col, n_buckets)
                         .where(F.col("lang") == "en"))
+            # Null-text guard BEFORE the hash shuffle: md5(NULL) is NULL,
+            # so on a largely-null corpus every textless row would land in
+            # ONE window partition and sort in a single task (skew/OOM
+            # hazard at web scale).  Output is unchanged — those rows
+            # fail the quality gate above the window anyway (quality of
+            # NULL is NULL, never 'ok').
+            .where(F.col("text").isNotNull())
             .withColumn("_h", F.md5("text"))
         )
+        # NOTE (duplicate keys, intentional): row_number keeps exactly ONE
+        # row per text hash.  If two rows tie on BOTH the hash and key_col
+        # (the same url crawled twice with identical text), which physical
+        # row survives is arbitrary — url, bucket and text of the winner
+        # are still fully determined, so curation and resume decisions are
+        # reproducible; only side columns of such exact re-crawls (e.g.
+        # warc_ts) can differ between runs.  One-row-per-hash is the
+        # contract; callers needing a total order add their own tiebreak.
         w = Window.partitionBy("_h").orderBy(key_col)
         winners = (
             g.withColumn("_rn", F.row_number().over(w))

@@ -83,12 +83,20 @@ def test_curate_barrier_plan_shape(spark, pages, tmp_path):
 
     out = curate_stage_fn(df, n_buckets=8)(with_bucket(df, "url", 8))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # one decode inline = 18 regexp_replace nodes; allow the projection
-    # plus slack, but nowhere near the 144 of the re-inlining shape
+    # HARD check (the actual regression being pinned): one decode inline =
+    # 18 regexp_replace nodes; allow the projection plus slack, but
+    # nowhere near the 144 of the re-inlining shape
     assert plan.count("regexp_replace") <= 40, plan.count("regexp_replace")
-    # map-side winner pruning before the md5 exchange
-    assert "WindowGroupLimit" in plan
-    # exactly one data shuffle (the md5 hash partitioning); the bucket
-    # filter is a broadcast, not an exchange
-    assert plan.count("Exchange hashpartitioning(_h") == 1
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # SOFT checks: Spark-internal physical-operator spellings, valid on
+    # the pinned Spark 4.1 but liable to change across upgrades/AQE-config
+    # changes without a real regression — keep them only while the pinned
+    # version runs (ADVICE r7 #4)
+    import pyspark
+
+    if pyspark.__version__.startswith("4.1."):
+        # map-side winner pruning before the md5 exchange
+        assert "WindowGroupLimit" in plan
+        # exactly one data shuffle (the md5 hash partitioning); the bucket
+        # filter is a broadcast, not an exchange
+        assert plan.count("Exchange hashpartitioning(_h") == 1
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
