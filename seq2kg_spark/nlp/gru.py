@@ -252,14 +252,23 @@ def pool_wordpieces_flat(
     n_tok = len(seg_starts)
     width = flat_logits.shape[1]
     out = np.zeros((n_tok, width), dtype=np.float32)
-    if n_tok == 0 or len(row_ids) == 0:
+    L = len(row_ids)
+    if n_tok == 0 or L == 0:
         return out
-    counts = np.diff(np.append(seg_starts, len(row_ids)))
+    # Trailing tokens with no wordpieces have seg_start == L, which is out of
+    # range for reduceat (it requires indices in [0, L)).  Those segments'
+    # rows stay zero either way, so trim them from the call; seg_starts is
+    # non-decreasing, so every start == L is at the tail.
+    n_valid = int(np.searchsorted(seg_starts, L, side="left"))
+    if n_valid == 0:
+        return out
+    counts = np.diff(np.append(seg_starts[:n_valid], L))
     nonempty = counts > 0
     gathered = flat_logits[row_ids]
-    sums = np.add.reduceat(gathered, seg_starts, axis=0)
+    sums = np.add.reduceat(gathered, seg_starts[:n_valid], axis=0)
     # reduceat yields gathered[seg_starts[j]] for empty segments — mask out
-    out[nonempty] = sums[nonempty] / counts[nonempty, None].astype(np.float32)
+    valid = out[:n_valid]
+    valid[nonempty] = sums[nonempty] / counts[nonempty, None].astype(np.float32)
     return out
 
 

@@ -176,3 +176,36 @@ def test_pool_wordpieces_flat_empty():
         np.asarray([], dtype=np.int64),
     )
     assert out.shape == (0, 4)
+
+
+def test_pool_wordpieces_flat_trailing_empty_segments():
+    """Tokens with zero wordpieces at the batch tail (truncated sentences)
+    put seg_start == len(row_ids), which is out of range for reduceat —
+    regression test for the sf0.01 crash; those rows must come back zero,
+    all others identical to the per-token loop."""
+    from seq2kg_spark.nlp.gru import (
+        pool_wordpieces_flat,
+        pool_wordpieces_to_tokens,
+    )
+
+    rng = np.random.default_rng(11)
+    flat = rng.standard_normal((5, 3)).astype(np.float32)
+    # last two tokens have no wordpieces: seg_starts ends with [5, 5]
+    maps = [[0, 1], [2], [3, 4], [], []]
+    row_ids, seg_starts = [], []
+    for wp in maps:
+        seg_starts.append(len(row_ids))
+        row_ids.extend(wp)
+    got = pool_wordpieces_flat(
+        flat, np.asarray(row_ids, dtype=np.int64),
+        np.asarray(seg_starts, dtype=np.int64),
+    )
+    want = pool_wordpieces_to_tokens(flat, maps)
+    assert np.array_equal(got, want)
+    assert np.all(got[3:] == 0.0)
+    # degenerate: every segment empty
+    got2 = pool_wordpieces_flat(
+        flat, np.asarray([], dtype=np.int64),
+        np.asarray([0, 0], dtype=np.int64),
+    )
+    assert got2.shape == (2, 3) and np.all(got2 == 0.0)
