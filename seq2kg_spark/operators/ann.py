@@ -63,45 +63,91 @@ FLAT_INT_MAX_DIM = 4096
 FLAT_FLOAT_MAX_DIM = 256
 
 
+def _tree_sum_sql(terms: list[str]) -> str:
+    """String twin of :func:`_tree_sum` (same pairing order)."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms)
+            else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _as_col(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
 def int_dot(a, b, dim: int | None = None):
     """Integer dot product.  With ``dim`` given (and small enough), emits
     a flat element_at-sum (whole-stage-codegen'd; higher-order-function
     lambdas are interpreted) guarded by a size check that falls back to
     the aggregate form — identical values either way (int64 addition is
     associative, so the balanced tree is exact), measured ~1.5x on the
-    sf1.0 brute-force scan."""
+    sf1.0 brute-force scan.
+
+    Pass ``a``/``b`` as column NAMES to get the flat form as ONE parsed
+    SQL expression: the Column-object form costs ~300 py4j round-trips of
+    driver time per plan build (~0.25s at dim=64), the parsed string ~1.
+    Column inputs keep the Column builder (tests, composed expressions).
+    """
+    ca, cb = _as_col(a), _as_col(b)
     hof = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(ca, cb, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     if dim is None or dim < 1 or dim > FLAT_INT_MAX_DIM:
         return hof
-    flat = _tree_sum(
-        [F.element_at(a, i) * F.element_at(b, i) for i in range(1, dim + 1)]
-    )
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), flat).otherwise(hof)
+    if isinstance(a, str) and isinstance(b, str):
+        flat = F.expr(_tree_sum_sql(
+            [f"(element_at({a}, {i}) * element_at({b}, {i}))"
+             for i in range(1, dim + 1)]
+        ))
+    else:
+        flat = _tree_sum(
+            [F.element_at(ca, i) * F.element_at(cb, i)
+             for i in range(1, dim + 1)]
+        )
+    return F.when((F.size(ca) == dim) & (F.size(cb) == dim), flat) \
+        .otherwise(hof)
 
 
 def float_cosine(a, b, dim: int | None = None):
+    ca, cb = _as_col(a), _as_col(b)
     if dim is None or dim < 1 or dim > FLAT_FLOAT_MAX_DIM:
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+        dot = F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, v: acc + v)
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+        na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v * v))
+        nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, v: acc + v * v))
         return dot / (na * nb)
     # flat codegen form, LEFT-DEEP so the accumulation order (and thus
     # every float bit) matches the aggregate fold; the caller guarantees
     # fixed-length vectors (the aggregate form's null-padding path cannot
-    # trigger on equal dims)
-    ea = [F.element_at(a, i) for i in range(1, dim + 1)]
-    eb = [F.element_at(b, i) for i in range(1, dim + 1)]
-    dot = _seq_sum([x * y for x, y in zip(ea, eb)])
-    na = F.sqrt(_seq_sum([x * x for x in ea]))
-    nb = F.sqrt(_seq_sum([y * y for y in eb]))
-    flat = dot / (na * nb)
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), flat).otherwise(
-        float_cosine(a, b)
+    # trigger on equal dims).  String inputs build the three sums as ONE
+    # parsed SQL expression (same py4j-chatter argument as int_dot).
+    if isinstance(a, str) and isinstance(b, str):
+        def seq(terms):
+            out = terms[0]
+            for t in terms[1:]:
+                out = f"({out} + {t})"
+            return out
+
+        ea = [f"element_at({a}, {i})" for i in range(1, dim + 1)]
+        eb = [f"element_at({b}, {i})" for i in range(1, dim + 1)]
+        dot = seq([f"({x} * {y})" for x, y in zip(ea, eb)])
+        na = f"sqrt({seq([f'({x} * {x})' for x in ea])})"
+        nb = f"sqrt({seq([f'({y} * {y})' for y in eb])})"
+        flat = F.expr(f"{dot} / ({na} * {nb})")
+    else:
+        ea = [F.element_at(ca, i) for i in range(1, dim + 1)]
+        eb = [F.element_at(cb, i) for i in range(1, dim + 1)]
+        dotc = _seq_sum([x * y for x, y in zip(ea, eb)])
+        nac = F.sqrt(_seq_sum([x * x for x in ea]))
+        nbc = F.sqrt(_seq_sum([y * y for y in eb]))
+        flat = dotc / (nac * nbc)
+    return F.when((F.size(ca) == dim) & (F.size(cb) == dim), flat).otherwise(
+        float_cosine(ca, cb)
     )
 
 
@@ -138,7 +184,7 @@ def brute_force_topk(
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dot", int_dot(F.col("qv"), F.col("cv"), dim=dim))
+        .withColumn("dot", int_dot("qv", "cv", dim=dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot"), F.asc("neighbor_id")
@@ -246,7 +292,7 @@ def lsh_bucketed_topk(
         .select("query_id", "qv", F.col("vid").alias("neighbor_id"),
                 F.col("v").alias("cv"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", float_cosine(F.col("qv"), F.col("cv"), dim=dim))
+        .withColumn("cosine", float_cosine("qv", "cv", dim=dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -367,7 +413,7 @@ def lsh_topk_int(
         .where(F.col("vid") != F.col("query_id"))
         # multi-table probing CAN duplicate a pair — dedup before re-rank
         .dropDuplicates(["query_id", "vid"])
-        .withColumn("dot", int_dot(F.col("qq"), F.col("qv"), dim=dim))
+        .withColumn("dot", int_dot("qq", "qv", dim=dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vid"))
     return (
@@ -479,7 +525,7 @@ def ivf_topk(
     cands = (
         F.broadcast(q).join(base, "cell")
         .where(F.col("vid") != F.col("query_id"))
-        .withColumn("cosine", float_cosine(F.col("qv"), F.col("v"), dim=dim))
+        .withColumn("cosine", float_cosine("qv", "v", dim=dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vid"))
@@ -573,7 +619,7 @@ def ivf_topk_int(
     cands = (
         F.broadcast(q).join(base, "cell")
         .where(F.col("vid") != F.col("query_id"))
-        .withColumn("dot", int_dot(F.col("qq"), F.col("qv"), dim=dim))
+        .withColumn("dot", int_dot("qq", "qv", dim=dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vid"))
     return (

@@ -438,35 +438,59 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash via xxhash64 — the scale variant (JVM-side ints,
     SQL-expr bit arithmetic because shift-by-column needs expr())."""
-    # One wide aggregation (64 bit-count sums) instead of the former 64x
-    # bit explode (50k docs x ~54 words x 64 = 173M pre-shuffle rows at
-    # sf1.0) + two groupBys.  Bit j is set iff 2*cnt_j > n_words, identical
-    # to sum-of-±1 > 0; (h >> j) & 1 equals the old (h >> j) % 2 != 0 test
-    # for negative hashes too (-1 & 1 == 1).  Measured 12.5s → 2.3s (noop
-    # sink) at sf1.0 with identical output.
-    w = df.select(
+    # One wide aggregation instead of the former 64x bit explode (50k docs
+    # x ~54 words x 64 = 173M pre-shuffle rows at sf1.0) + two groupBys.
+    # The 64 bit-counters are PACKED two per long (32-bit limbs: bit j in
+    # the low half, bit j+32 in the high half), so the aggregate carries 33
+    # buffers instead of 65 — the 65-buffer form fell out of whole-stage
+    # codegen and its interpreted update loop was the whole cost at small
+    # inputs (0.85s → 0.30s at sf0.1, 0.87s → 0.66s at 50k docs, identical
+    # output).  A 32-bit limb cannot overflow into its neighbour below 2^31
+    # words per doc.  Bit j is set iff 2*cnt_j > n_words, identical to
+    # sum-of-±1 > 0; (h >> j) & 1 equals the old (h >> j) % 2 != 0 test for
+    # negative hashes too (-1 & 1 == 1).
+    #
+    # Small inputs arrive as one scan split (a single small parquet file),
+    # which serializes the whole explode+aggregate on one core; repartition
+    # by doc_id first ONLY in that case — the groupBy reuses the hash
+    # partitioning, so it is still one exchange, and at scale (scan already
+    # parallel) the text payload is never shuffled at all.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df
+    if df.rdd.getNumPartitions() < par:
+        base = df.repartition(2 * par, id_col)
+    w = base.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
         ).alias("word"),
     ).withColumn("h", F.xxhash64("word"))
+    # Expressions are built as SQL strings (one JVM parse each) instead of
+    # nested Column calls: the Column form was ~1,500 py4j round-trips and
+    # 1.5s of driver time PER INVOCATION — more than the sf0.1 execution
+    # itself.  expr parsing is ~35 calls total.
     agg = w.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[
-            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"c{j}")
-            for j in range(64)
+            F.expr(
+                f"sum((shiftright(h, {j}) & 1) | "
+                f"shiftleft(shiftright(h, {j + 32}) & 1, 32))"
+            ).alias(f"p{j}")
+            for j in range(32)
         ],
     )
-    bitvals = [
-        F.when(
-            F.col(f"c{j}") * 2 > F.col("n"),
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    total = bitvals[0]
-    for b in bitvals[1:]:
-        total = total + b
+    mask = (1 << 32) - 1
+    terms = []
+    for j in range(32):
+        terms.append(
+            f"(CASE WHEN (p{j} & {mask}L) * 2 > n "
+            f"THEN shiftleft(1L, {j}) ELSE 0L END)"
+        )
+        terms.append(
+            f"(CASE WHEN shiftright(p{j}, 32) * 2 > n "
+            f"THEN shiftleft(1L, {j + 32}) ELSE 0L END)"
+        )
+    total = F.expr(" + ".join(terms))
     return agg.select("doc_id", total.alias("simhash64"))
 
 
