@@ -279,6 +279,23 @@ def decode_labels(token_logits: np.ndarray, labels: list[str]) -> list[list[str]
             for i in range(on.shape[0])]
 
 
+def decode_labels_flat(
+    token_logits: np.ndarray, labels: list[str]
+) -> list[list[str]]:
+    """Batch variant of :func:`decode_labels`: ONE nonzero over the whole
+    (N_tok, L) matrix instead of a per-token-row call (the per-row call
+    overhead dominated the decode phase on the inference hot path — the
+    on-labels are sparse, so iterating the nonzero entries is cheap).
+    np.nonzero is row-major, so per-row columns come out ascending —
+    exactly the per-row vocab order; output lists are identical."""
+    on = token_logits > 0
+    out: list[list[str]] = [[] for _ in range(on.shape[0])]
+    rows, cols = np.nonzero(on)
+    for r, c in zip(rows.tolist(), cols.tolist()):
+        out[r].append(labels[c])
+    return out
+
+
 def tags_to_triples(
     words: list[str],
     tr_labels_per_token: list[list[str]],

@@ -63,7 +63,7 @@ def _infer_batches(weights_bc, dim: int):
         from seq2kg_spark.nlp.gru import (
             ET_LABELS,
             TR_LABELS,
-            decode_labels,
+            decode_labels_flat,
             forward_logits_flat,
             pool_wordpieces_flat,
             tags_to_triples,
@@ -131,12 +131,16 @@ def _infer_batches(weights_bc, dim: int):
                 np.asarray(seg_starts, dtype=np.int64),
             )
 
+            # M2 decode for the WHOLE batch in one nonzero pass per head
+            # (identical per-token lists — see decode_labels_flat)
+            tr_all = decode_labels_flat(pooled[:, :n_tr], TR_LABELS)
+            et_all = decode_labels_flat(pooled[:, n_tr:], ET_LABELS)
             rows: dict[str, list] = {c: [] for c in (
                 "url", "subj", "pred", "obj", "subj_types", "obj_types")}
             for i, url in enumerate(sent_url):
-                tok = pooled[sent_tok_offs[i]:sent_tok_offs[i + 1]]
-                tr_lab = decode_labels(tok[:, :n_tr], TR_LABELS)
-                et_lab = decode_labels(tok[:, n_tr:], ET_LABELS)
+                s, e = sent_tok_offs[i], sent_tok_offs[i + 1]
+                tr_lab = tr_all[s:e]
+                et_lab = et_all[s:e]
                 n = min(len(sent_tokens[i]), len(tr_lab))
                 for t in tags_to_triples(sent_tokens[i][:n], tr_lab[:n],
                                          et_lab[:n]):

@@ -178,6 +178,20 @@ def test_pool_wordpieces_flat_empty():
     assert out.shape == (0, 4)
 
 
+def test_decode_labels_flat_matches_per_row():
+    from seq2kg_spark.nlp.gru import decode_labels, decode_labels_flat
+
+    rng = np.random.default_rng(5)
+    labels = [f"L{i}" for i in range(9)]
+    for shape in [(0, 9), (1, 9), (37, 9)]:
+        logits = (rng.standard_normal(shape) - 0.8).astype(np.float32)
+        assert decode_labels_flat(logits, labels) == decode_labels(
+            logits, labels)
+    # all-on and all-off rows
+    logits = np.array([[1.0] * 9, [-1.0] * 9, [0.0] * 9], dtype=np.float32)
+    assert decode_labels_flat(logits, labels) == decode_labels(logits, labels)
+
+
 def test_pool_wordpieces_flat_trailing_empty_segments():
     """Tokens with zero wordpieces at the batch tail (truncated sentences)
     put seg_start == len(row_ids), which is out of range for reduceat —
